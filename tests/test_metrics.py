@@ -1,0 +1,203 @@
+"""Metric parity: our vectorised GAP/Hit@1/PERR/mAP vs a literal
+formula-faithful oracle (heap + shuffled stable sort, as the published
+YT-8M starter defines them)."""
+
+import heapq
+import random
+
+import numpy as np
+import pytest
+
+from yt8m_tpu.metrics import (
+    AveragePrecisionCalculator,
+    EvaluationMetrics,
+    ap_at_n,
+    calculate_gap,
+    calculate_hit_at_one,
+    calculate_precision_at_equal_recall_rate,
+)
+from yt8m_tpu.metrics.eval_metrics import top_k_by_class
+
+
+# ---------------------------------------------------------------------------
+# Oracle: direct transliteration of the published metric definitions.
+# ---------------------------------------------------------------------------
+
+
+def oracle_ap(predictions, actuals, n=None, total_num_positives=None):
+    predictions = np.asarray(predictions, dtype=np.float64)
+    actuals = np.asarray(actuals, dtype=np.float64)
+    random.seed(0)
+    suffidx = random.sample(range(len(predictions)), len(predictions))
+    predictions = predictions[suffidx]
+    actuals = actuals[suffidx]
+    sortidx = sorted(
+        range(len(predictions)), key=lambda k: predictions[k], reverse=True
+    )
+    if total_num_positives is None:
+        numpos = np.size(np.where(actuals > 0))
+    else:
+        numpos = total_num_positives
+    if numpos == 0:
+        return 0.0
+    if n is not None:
+        numpos = min(numpos, n)
+    delta_recall = 1.0 / numpos
+    ap, poscount = 0.0, 0.0
+    r = len(sortidx)
+    if n is not None:
+        r = min(r, n)
+    for i in range(r):
+        if actuals[sortidx[i]] > 0:
+            poscount += 1
+            ap += poscount / (i + 1) * delta_recall
+    return ap
+
+
+def oracle_gap(predictions, actuals, top_k=20):
+    heap = []
+    total_pos = 0
+    for v in range(predictions.shape[0]):
+        k = min(top_k, predictions.shape[1])
+        idx = np.argpartition(predictions[v], -k)[-k:]
+        for i in idx:
+            heap.append((predictions[v, i], actuals[v, i]))
+        total_pos += int(np.sum(actuals[v] > 0))
+    preds = np.array([p for p, a in heap])
+    acts = np.array([a for p, a in heap])
+    return oracle_ap(preds, acts, n=None, total_num_positives=total_pos)
+
+
+def _random_batch(rng, b, c, max_labels=5):
+    preds = rng.random((b, c))
+    actuals = np.zeros((b, c), dtype=np.float32)
+    for i in range(b):
+        k = int(rng.integers(1, max_labels + 1))
+        actuals[i, rng.choice(c, size=k, replace=False)] = 1.0
+    return preds, actuals
+
+
+def test_ap_matches_oracle_no_ties():
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        preds = rng.random(200)
+        acts = (rng.random(200) < 0.2).astype(np.float64)
+        for n in (None, 20, 50):
+            ours = ap_at_n(preds, acts, n=n)
+            ref = oracle_ap(preds, acts, n=n)
+            assert ours == pytest.approx(ref, abs=1e-12)
+
+
+def test_streaming_ap_equals_one_shot():
+    rng = np.random.default_rng(1)
+    preds = rng.random(500)
+    acts = (rng.random(500) < 0.1).astype(np.float64)
+    calc = AveragePrecisionCalculator(top_n=None)
+    for s in range(0, 500, 97):
+        calc.accumulate(preds[s : s + 97], acts[s : s + 97])
+    assert calc.peek_ap_at_n() == pytest.approx(
+        oracle_ap(preds, acts), abs=1e-12
+    )
+
+
+def test_bounded_topn_streaming_matches_oracle_heap():
+    rng = np.random.default_rng(2)
+    preds = rng.random(3000)
+    acts = (rng.random(3000) < 0.05).astype(np.float64)
+    top_n = 100
+    calc = AveragePrecisionCalculator(top_n=top_n)
+    for s in range(0, 3000, 251):
+        calc.accumulate(preds[s : s + 251], acts[s : s + 251])
+    # Oracle: keep top_n by prediction in a heap, then ap_at_n.
+    heap = []
+    for p, a in zip(preds, acts):
+        if len(heap) < top_n:
+            heapq.heappush(heap, (p, a))
+        elif p > heap[0][0]:
+            heapq.heapreplace(heap, (p, a))
+    hp = np.array([p for p, a in heap])
+    ha = np.array([a for p, a in heap])
+    ref = oracle_ap(
+        hp, ha, n=top_n, total_num_positives=int(np.sum(acts > 0))
+    )
+    assert calc.peek_ap_at_n() == pytest.approx(ref, abs=1e-12)
+
+
+def test_hit_at_one():
+    preds = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    actuals = np.array([[0, 1, 0], [0, 0, 1]], dtype=np.float64)
+    assert calculate_hit_at_one(preds, actuals) == pytest.approx(0.5)
+
+
+def test_perr():
+    preds = np.array([[0.9, 0.8, 0.1, 0.0]])
+    actuals = np.array([[1, 0, 1, 0]], dtype=np.float64)
+    # 2 labels -> top-2 = {0, 1}, one hit -> PERR 0.5
+    assert calculate_precision_at_equal_recall_rate(
+        preds, actuals
+    ) == pytest.approx(0.5)
+
+
+def test_gap_matches_oracle():
+    rng = np.random.default_rng(3)
+    preds, actuals = _random_batch(rng, 64, 101)
+    ours = calculate_gap(preds, actuals, top_k=20)
+    ref = oracle_gap(preds, actuals, top_k=20)
+    assert ours == pytest.approx(ref, abs=1e-12)
+
+
+def test_gap_perfect_predictions():
+    rng = np.random.default_rng(4)
+    _, actuals = _random_batch(rng, 32, 50)
+    preds = actuals + rng.random(actuals.shape) * 1e-3  # positives on top
+    assert calculate_gap(preds, actuals) == pytest.approx(1.0)
+
+
+def test_streaming_gap_equals_global():
+    """EvaluationMetrics streamed over batches == one-shot calculate_gap."""
+    rng = np.random.default_rng(5)
+    preds, actuals = _random_batch(rng, 96, 73)
+    m = EvaluationMetrics(num_class=73, top_k=20)
+    for s in range(0, 96, 32):
+        p, a = preds[s : s + 32], actuals[s : s + 32]
+        m.accumulate(p, a, loss=np.zeros(p.shape[0]))
+    out = m.get()
+    assert out["gap"] == pytest.approx(
+        calculate_gap(preds, actuals, 20), abs=1e-12
+    )
+    assert out["avg_hit_at_one"] == pytest.approx(
+        calculate_hit_at_one(preds, actuals), abs=1e-12
+    )
+    assert out["avg_perr"] == pytest.approx(
+        calculate_precision_at_equal_recall_rate(preds, actuals), abs=1e-12
+    )
+
+
+def test_batch_mask_drops_padded_rows():
+    rng = np.random.default_rng(6)
+    preds, actuals = _random_batch(rng, 8, 20)
+    m1 = EvaluationMetrics(num_class=20)
+    m1.accumulate(preds, actuals, loss=0.0)
+    m2 = EvaluationMetrics(num_class=20)
+    padded_p = np.vstack([preds, rng.random((4, 20))])
+    padded_a = np.vstack([actuals, np.zeros((4, 20))])
+    mask = np.array([1.0] * 8 + [0.0] * 4)
+    m2.accumulate(padded_p, padded_a, loss=0.0, batch_mask=mask)
+    assert m1.get()["gap"] == pytest.approx(m2.get()["gap"], abs=1e-12)
+
+
+def test_map_per_class():
+    rng = np.random.default_rng(7)
+    preds, actuals = _random_batch(rng, 200, 11, max_labels=3)
+    m = EvaluationMetrics(num_class=11, top_k=11)
+    m.accumulate(preds, actuals, loss=0.0)
+    aps = m.get()["aps"]
+    assert len(aps) == 11
+    # Per-class oracle: full-list AP per class (top_k=11 == num_classes so
+    # nothing is truncated).
+    for c in range(11):
+        ref = oracle_ap(
+            preds[:, c], actuals[:, c],
+            n=None, total_num_positives=int(np.sum(actuals[:, c] > 0)),
+        )
+        assert aps[c] == pytest.approx(ref, abs=1e-12)

@@ -1,0 +1,187 @@
+"""Batch evaluation metrics: Hit@1, PERR, GAP@20, mAP.
+
+Reference: eval_util.py :: EvaluationMetrics, calculate_hit_at_one,
+calculate_precision_at_equal_recall_rate, calculate_gap, top_k_by_class.
+Exact formula port, vectorised (the reference accumulated Python heaps —
+the CPU-bound hot loop of its eval, SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from yt8m_tpu.metrics.average_precision import AveragePrecisionCalculator
+from yt8m_tpu.metrics.mean_average_precision import (
+    MeanAveragePrecisionCalculator,
+)
+
+
+def calculate_hit_at_one(predictions: np.ndarray, actuals: np.ndarray) -> float:
+    """Fraction of videos whose top-scored class is a true label."""
+    top = np.argmax(predictions, axis=1)
+    hits = actuals[np.arange(actuals.shape[0]), top].astype(np.float64)
+    return float(np.mean(hits))
+
+
+def calculate_precision_at_equal_recall_rate(
+    predictions: np.ndarray, actuals: np.ndarray
+) -> float:
+    """Mean precision@k where k = per-video number of true labels.
+
+    Matches the reference loop, including its `prediction > 0` guard; videos
+    with zero labels contribute 0 (the reference's behaviour there is
+    degenerate -[-0:] slicing- and real YT-8M videos always have >=1 label).
+    """
+    num_videos = actuals.shape[0]
+    if num_videos == 0:
+        return 0.0
+    total = 0.0
+    for row in range(num_videos):
+        num_labels = int(np.sum(actuals[row]))
+        if num_labels == 0:
+            continue
+        top_indices = np.argpartition(predictions[row], -num_labels)[
+            -num_labels:
+        ]
+        hit = actuals[row][top_indices] * (predictions[row][top_indices] > 0)
+        total += float(np.sum(hit)) / top_indices.size
+    return total / num_videos
+
+
+def top_k_triplets(predictions: np.ndarray, labels: np.ndarray, k: int = 20):
+    """[(class_index, prediction, label)] for the top-k scored classes."""
+    m = predictions.shape[0]
+    k = min(k, m)
+    indices = np.argpartition(predictions, -k)[-k:]
+    return [(int(i), float(predictions[i]), float(labels[i])) for i in indices]
+
+
+def top_k_by_class(
+    predictions: np.ndarray, labels: np.ndarray, k: int = 20
+):
+    """Sparsify a batch to per-class top-k entries.
+
+    Returns (per-class prediction lists, per-class label lists,
+    per-class total positive counts over the FULL label matrix).
+    """
+    if k <= 0:
+        raise ValueError("k must be a positive integer.")
+    num_classes = predictions.shape[1]
+    k = min(k, num_classes)
+    b = predictions.shape[0]
+
+    idx = np.argpartition(predictions, -k, axis=1)[:, -k:]  # [B, k]
+    rows = np.arange(b)[:, None]
+    preds_k = predictions[rows, idx].ravel()
+    labels_k = labels[rows, idx].ravel()
+    classes_k = idx.ravel()
+
+    out_predictions: List[List[float]] = [[] for _ in range(num_classes)]
+    out_labels: List[List[float]] = [[] for _ in range(num_classes)]
+    order = np.argsort(classes_k, kind="stable")
+    for j in order:
+        c = classes_k[j]
+        out_predictions[c].append(float(preds_k[j]))
+        out_labels[c].append(float(labels_k[j]))
+    out_true_positives = [
+        int(np.sum(labels[:, i] > 0)) for i in range(num_classes)
+    ]
+    return out_predictions, out_labels, out_true_positives
+
+
+def flatten(lst: Sequence[Sequence]) -> List:
+    return [item for sub in lst for item in sub]
+
+
+def calculate_gap(
+    predictions: np.ndarray, actuals: np.ndarray, top_k: int = 20
+) -> float:
+    """Global AP over the flattened per-video top-k predictions."""
+    gap_calculator = AveragePrecisionCalculator()
+    sparse_p, sparse_l, num_pos = top_k_by_class(predictions, actuals, top_k)
+    gap_calculator.accumulate(
+        np.asarray(flatten(sparse_p)),
+        np.asarray(flatten(sparse_l)),
+        sum(num_pos),
+    )
+    return gap_calculator.peek_ap_at_n()
+
+
+class EvaluationMetrics:
+    """Streaming eval accumulator; mirror of eval_util.EvaluationMetrics."""
+
+    def __init__(self, num_class: int, top_k: int = 20):
+        self.sum_hit_at_one = 0.0
+        self.sum_perr = 0.0
+        self.sum_loss = 0.0
+        self.map_calculator = MeanAveragePrecisionCalculator(num_class)
+        self.global_ap_calculator = AveragePrecisionCalculator()
+        self.top_k = top_k
+        self.num_examples = 0
+
+    def accumulate(
+        self,
+        predictions: np.ndarray,
+        labels: np.ndarray,
+        loss,
+        batch_mask: Optional[np.ndarray] = None,
+    ) -> Dict[str, float]:
+        """Add one batch. `batch_mask` drops padded rows (rebuild addition —
+        the reference relied on queue OutOfRange to avoid padding)."""
+        if batch_mask is not None:
+            keep = np.asarray(batch_mask) > 0
+            predictions = predictions[keep]
+            labels = labels[keep]
+            loss = np.asarray(loss)
+            if loss.ndim > 0 and loss.shape[0] == keep.shape[0]:
+                loss = loss[keep]
+        batch_size = labels.shape[0]
+        if batch_size == 0:
+            return {"hit_at_one": 0.0, "perr": 0.0, "loss": 0.0}
+        mean_hit = calculate_hit_at_one(predictions, labels)
+        mean_perr = calculate_precision_at_equal_recall_rate(
+            predictions, labels
+        )
+        mean_loss = float(np.mean(loss))
+
+        sparse_p, sparse_l, num_pos = top_k_by_class(
+            predictions, labels, self.top_k
+        )
+        self.map_calculator.accumulate(sparse_p, sparse_l, num_pos)
+        self.global_ap_calculator.accumulate(
+            np.asarray(flatten(sparse_p)),
+            np.asarray(flatten(sparse_l)),
+            sum(num_pos),
+        )
+
+        self.num_examples += batch_size
+        self.sum_hit_at_one += mean_hit * batch_size
+        self.sum_perr += mean_perr * batch_size
+        self.sum_loss += mean_loss * batch_size
+        return {
+            "hit_at_one": mean_hit,
+            "perr": mean_perr,
+            "loss": mean_loss,
+        }
+
+    def get(self) -> Dict:
+        if self.num_examples <= 0:
+            raise ValueError("total_sample must be positive.")
+        aps = self.map_calculator.peek_map_at_n()
+        return {
+            "avg_hit_at_one": self.sum_hit_at_one / self.num_examples,
+            "avg_perr": self.sum_perr / self.num_examples,
+            "avg_loss": self.sum_loss / self.num_examples,
+            "aps": aps,
+            "gap": self.global_ap_calculator.peek_ap_at_n(),
+        }
+
+    def clear(self) -> None:
+        self.sum_hit_at_one = 0.0
+        self.sum_perr = 0.0
+        self.sum_loss = 0.0
+        self.map_calculator.clear()
+        self.global_ap_calculator.clear()
+        self.num_examples = 0
