@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Headline benchmark: frame-level inference videos/sec/chip.
+
+Baseline target (BASELINE.json :: north_star): >= 10,000 videos/sec/chip on
+TPU v5e, uint8 features on the host->device wire. Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/10000}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_VIDEOS_PER_SEC = 10_000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import FLAGSHIP_MODEL, _flagship_hparams
+    from yt8m_tpu.data.quantize import dequantize
+    from yt8m_tpu.models import get_model
+
+    hp = _flagship_hparams()
+    model = get_model(FLAGSHIP_MODEL, hp)
+
+    batch = 2048
+    f, d = hp.max_frames, hp.feature_dim
+    rng = np.random.default_rng(0)
+    feats_u8 = rng.integers(0, 256, size=(batch, f, d), dtype=np.uint8)
+    num_frames = rng.integers(30, f + 1, size=(batch,)).astype(np.int32)
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        dequantize(jnp.asarray(feats_u8[:2], jnp.float32)),
+        jnp.asarray(num_frames[:2]),
+        train=False,
+    )
+
+    @jax.jit
+    def forward(feats_u8, num_frames):
+        feats = dequantize(feats_u8.astype(jnp.float32))
+        out = model.apply(
+            variables,
+            feats,
+            num_frames,
+            train=False,
+            rngs={"sample": jax.random.PRNGKey(2)},
+        )
+        values, indices = jax.lax.top_k(out["predictions"], 20)
+        return values, indices
+
+    dev_frames = jax.device_put(jnp.asarray(num_frames))
+
+    # Warmup (compile) — include one full host->device->host round trip.
+    v, i = forward(jax.device_put(feats_u8), dev_frames)
+    jax.block_until_ready((v, i))
+
+    # Timed: each step ships a fresh uint8 batch host->device (the real
+    # input-pipeline cost), runs the jitted forward, pulls top-20 back.
+    steps = 8
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x = jax.device_put(feats_u8)
+        v, i = forward(x, dev_frames)
+    jax.block_until_ready((v, i))
+    dt = time.perf_counter() - t0
+
+    videos_per_sec = batch * steps / dt
+    print(
+        json.dumps(
+            {
+                "metric": "frame_level_inference_videos_per_sec_per_chip",
+                "value": round(videos_per_sec, 1),
+                "unit": "videos/sec/chip",
+                "vs_baseline": round(
+                    videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

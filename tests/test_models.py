@@ -1,0 +1,129 @@
+"""Model zoo unit tests: shapes, probability ranges, determinism, and
+padded-frame invariance (SURVEY.md §4 test plan)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yt8m_tpu.models import ModelHParams, get_model, list_models
+from yt8m_tpu.models.registry import is_frame_level_model
+
+B, F, D, C = 4, 12, 40, 25
+
+HP = ModelHParams(
+    vocab_size=C,
+    feature_dim=D,
+    max_frames=F,
+    compute_dtype="float32",
+    moe_num_mixtures=2,
+    dbof_cluster_size=32,
+    dbof_hidden_size=16,
+    iterations=6,
+    netvlad_cluster_size=8,
+    netvlad_hidden_size=16,
+    attention_heads=2,
+    attention_hidden_size=16,
+    lstm_cells=16,
+    lstm_layers=2,
+    gru_cells=16,
+    chain_stages=2,
+    chain_hidden_size=16,
+)
+
+
+def _make_inputs(frame_level, seed=0):
+    rng = np.random.default_rng(seed)
+    if frame_level:
+        feats = rng.normal(size=(B, F, D)).astype(np.float32)
+        num_frames = np.array([F, 3, 7, 1], dtype=np.int32)
+        # zero out padding as the reader does
+        for i, nf in enumerate(num_frames):
+            feats[i, nf:] = 0.0
+    else:
+        feats = rng.normal(size=(B, D)).astype(np.float32)
+        num_frames = np.ones((B,), dtype=np.int32)
+    return jnp.asarray(feats), jnp.asarray(num_frames)
+
+
+def _init_and_apply(model, feats, num_frames, train=False, seed=0):
+    variables = model.init(
+        {"params": jax.random.PRNGKey(seed), "sample": jax.random.PRNGKey(1)},
+        feats,
+        num_frames,
+        train=False,
+    )
+    out = model.apply(
+        variables,
+        feats,
+        num_frames,
+        train=train,
+        rngs={"sample": jax.random.PRNGKey(2)},
+        mutable=["batch_stats"] if train else False,
+    )
+    if train:
+        out = out[0]
+    return out, variables
+
+
+@pytest.mark.parametrize("name", list_models())
+def test_forward_shapes_and_ranges(name):
+    frame_level = is_frame_level_model(name)
+    feats, num_frames = _make_inputs(frame_level)
+    model = get_model(name, HP)
+    out, _ = _init_and_apply(model, feats, num_frames)
+    preds = np.asarray(out["predictions"])
+    assert preds.shape == (B, C)
+    assert preds.dtype == np.float32
+    assert np.all(preds >= 0.0) and np.all(preds <= 1.0)
+    assert np.all(np.isfinite(preds))
+
+
+@pytest.mark.parametrize("name", list_models())
+def test_forward_deterministic(name):
+    frame_level = is_frame_level_model(name)
+    feats, num_frames = _make_inputs(frame_level)
+    model = get_model(name, HP)
+    out1, variables = _init_and_apply(model, feats, num_frames)
+    out2 = model.apply(
+        variables, feats, num_frames, train=False,
+        rngs={"sample": jax.random.PRNGKey(2)},
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out1["predictions"]), np.asarray(out2["predictions"])
+    )
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in list_models() if is_frame_level_model(n)]
+)
+def test_padded_frames_do_not_leak(name):
+    """Garbage in padded frames must not change predictions (SURVEY.md §7
+    hard part 4)."""
+    feats, num_frames = _make_inputs(True)
+    model = get_model(name, HP)
+    out1, variables = _init_and_apply(model, feats, num_frames)
+
+    corrupted = np.asarray(feats).copy()
+    for i, nf in enumerate(np.asarray(num_frames)):
+        corrupted[i, nf:] = 1e4  # garbage in the padding
+    out2 = model.apply(
+        variables, jnp.asarray(corrupted), num_frames, train=False,
+        rngs={"sample": jax.random.PRNGKey(2)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1["predictions"]),
+        np.asarray(out2["predictions"]),
+        atol=1e-5,
+    )
+
+
+def test_moe_gate_abstention_dims():
+    """MoE head: (M+1) gates but only M experts contribute."""
+    hp = HP.replace(moe_num_mixtures=3)
+    feats, num_frames = _make_inputs(False)
+    model = get_model("MoeModel", hp)
+    _, variables = _init_and_apply(model, feats, num_frames)
+    params = variables["params"]["tower"]
+    assert params["gates_kernel"].shape == (D, C * 4)
+    assert params["experts_kernel"].shape == (D, C * 3)

@@ -1,0 +1,117 @@
+"""End-to-end smoke: synthetic data -> train video MoE -> eval -> CSV
+(SURVEY.md §4 "E2E smoke"). Runs on the 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+from yt8m_tpu.config import EvalConfig, InferenceConfig, TrainConfig
+from yt8m_tpu.data.synthetic import write_dataset
+from yt8m_tpu.eval.loop import evaluate_checkpoint
+from yt8m_tpu.infer.predict import inference
+from yt8m_tpu.models.hparams import ModelHParams
+from yt8m_tpu.train.loop import Trainer
+
+C = 20
+HP_KW = dict(moe_num_mixtures=2, compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("yt8m_video")
+    write_dataset(
+        str(root), "train", num_shards=2, videos_per_shard=64,
+        frame_level=False, num_classes=C, seed=1, rgb_dim=32, audio_dim=8,
+    )
+    write_dataset(
+        str(root), "validate", num_shards=1, videos_per_shard=48,
+        frame_level=False, num_classes=C, seed=9, rgb_dim=32, audio_dim=8,
+    )
+    return str(root)
+
+
+def _train_cfg(dataset, train_dir, **kw):
+    base = dict(
+        train_data_pattern=os.path.join(dataset, "train-*.tfrecord"),
+        feature_names="mean_rgb,mean_audio",
+        feature_sizes="32,8",
+        frame_features=False,
+        num_classes=C,
+        batch_size=16,
+        num_epochs=50,
+        max_steps=60,
+        model="MoeModel",
+        base_learning_rate=0.02,
+        learning_rate_decay_examples=100000,
+        train_dir=train_dir,
+        save_checkpoint_every_n_steps=30,
+        log_every_n_steps=20,
+        hparams=ModelHParams(**HP_KW),
+    )
+    base.update(kw)
+    return TrainConfig(**base)
+
+
+def test_train_eval_infer(dataset, tmp_path, caplog):
+    train_dir = str(tmp_path / "model")
+    trainer = Trainer(_train_cfg(dataset, train_dir))
+
+    # capture loss trajectory by wrapping the data iterator? simpler: run
+    # and compare eval GAP to chance afterwards.
+    final_step = trainer.run()
+    assert final_step == 60
+    assert os.path.isdir(train_dir)
+
+    ecfg = EvalConfig(
+        eval_data_pattern=os.path.join(dataset, "validate-*.tfrecord"),
+        feature_names="mean_rgb,mean_audio",
+        feature_sizes="32,8",
+        num_classes=C,
+        batch_size=16,
+        model="MoeModel",
+        train_dir=train_dir,
+        top_k=20,
+        hparams=ModelHParams(**HP_KW),
+    )
+    out = evaluate_checkpoint(ecfg)
+    # Planted signal: must beat chance decisively.
+    assert out["gap"] > 0.25, out
+    assert out["avg_hit_at_one"] > 0.3, out
+    assert 0 < out["videos_per_sec"]
+
+    icfg = InferenceConfig(
+        input_data_pattern=os.path.join(dataset, "validate-*.tfrecord"),
+        feature_names="mean_rgb,mean_audio",
+        feature_sizes="32,8",
+        num_classes=C,
+        batch_size=16,
+        model="MoeModel",
+        train_dir=train_dir,
+        output_file=str(tmp_path / "preds.csv"),
+        top_k=5,
+        hparams=ModelHParams(**HP_KW),
+    )
+    stats = inference(icfg)
+    assert stats["num_videos"] == 48
+    lines = open(tmp_path / "preds.csv").read().splitlines()
+    assert lines[0] == "VideoId,LabelConfidencePairs"
+    assert len(lines) == 49
+    vid, pairs = lines[1].split(",")
+    assert vid.startswith("vid")
+    toks = pairs.split(" ")
+    assert len(toks) == 10  # 5 (class, score) pairs
+    scores = [float(toks[i]) for i in range(1, 10, 2)]
+    assert scores == sorted(scores, reverse=True)
+    classes = [int(toks[i]) for i in range(0, 10, 2)]
+    assert all(0 <= c < C for c in classes)
+
+
+def test_resume_from_checkpoint(dataset, tmp_path):
+    """Restart-idempotence (Supervisor-style auto-resume, SURVEY.md §5.3)."""
+    train_dir = str(tmp_path / "model_resume")
+    Trainer(_train_cfg(dataset, train_dir, max_steps=30)).run()
+    # Second run resumes at 30 and continues to 45.
+    t2 = Trainer(_train_cfg(dataset, train_dir, max_steps=45))
+    final = t2.run()
+    assert final == 45

@@ -1,0 +1,30 @@
+"""inference CLI (reference: inference.py / inference-pre-ensemble.py)."""
+
+from __future__ import annotations
+
+import logging
+import sys
+
+from yt8m_tpu.config import InferenceConfig
+from yt8m_tpu.infer.predict import inference
+from yt8m_tpu.models.hparams import ModelHParams
+from yt8m_tpu.utils.flags import parse_into
+
+
+def main(argv=None):
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s: %(message)s",
+    )
+    cfg, _ = parse_into(InferenceConfig, argv, hparams_cls=ModelHParams)
+    if not cfg.input_data_pattern:
+        raise SystemExit("--input_data_pattern is required")
+    if not cfg.output_file and not cfg.output_probabilities_dir:
+        raise SystemExit(
+            "--output_file or --output_probabilities_dir is required"
+        )
+    inference(cfg)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,115 @@
+"""Run configuration — the reference's flag surface as one dataclass.
+
+Flag names match train.py / eval.py / inference.py of the reference so
+existing scripts port by search-replacing the binary name only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from yt8m_tpu.models.hparams import ModelHParams
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # data (reference: train.py + readers.py flags)
+    train_data_pattern: str = ""
+    feature_names: str = "mean_rgb"
+    feature_sizes: str = "1024"
+    frame_features: bool = False
+    num_classes: int = 4716
+    max_frames: int = 300
+    batch_size: int = 1024
+    num_epochs: Optional[int] = 5
+    num_readers: int = 8
+
+    # model / loss selection
+    model: str = "LogisticModel"
+    label_loss: str = "CrossEntropyLoss"
+
+    # optimisation (train.py flags)
+    optimizer: str = "AdamOptimizer"
+    base_learning_rate: float = 0.01
+    learning_rate_decay: float = 0.95
+    learning_rate_decay_examples: int = 4_000_000
+    regularization_penalty: float = 1.0
+    clip_gradient_norm: float = 1.0
+    max_steps: Optional[int] = None
+
+    # run management
+    train_dir: str = "/tmp/yt8m_model/"
+    start_new_model: bool = False
+    save_checkpoint_every_n_steps: int = 1000
+    max_checkpoints_to_keep: int = 5
+    log_every_n_steps: int = 10
+    seed: int = 0
+
+    # distillation
+    distill_data_pattern: str = ""
+    distill_alpha: float = 0.5
+
+    # parallelism
+    model_parallel: int = 1
+    num_devices: Optional[int] = None
+
+    # profiling
+    profile_dir: str = ""
+
+    hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
+
+    def resolved_hparams(self) -> ModelHParams:
+        return self.hparams.replace(
+            vocab_size=self.num_classes,
+            max_frames=self.max_frames,
+        )
+
+
+@dataclasses.dataclass
+class EvalConfig:
+    eval_data_pattern: str = ""
+    feature_names: str = "mean_rgb"
+    feature_sizes: str = "1024"
+    frame_features: bool = False
+    num_classes: int = 4716
+    max_frames: int = 300
+    batch_size: int = 1024
+    model: str = "LogisticModel"
+    label_loss: str = "CrossEntropyLoss"
+    train_dir: str = "/tmp/yt8m_model/"
+    run_once: bool = True
+    top_k: int = 20
+    checkpoint_step: Optional[int] = None
+    seed: int = 0
+    hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
+
+    def resolved_hparams(self) -> ModelHParams:
+        return self.hparams.replace(
+            vocab_size=self.num_classes, max_frames=self.max_frames
+        )
+
+
+@dataclasses.dataclass
+class InferenceConfig:
+    input_data_pattern: str = ""
+    feature_names: str = "mean_rgb"
+    feature_sizes: str = "1024"
+    frame_features: bool = False
+    num_classes: int = 4716
+    max_frames: int = 300
+    batch_size: int = 8192
+    model: str = "LogisticModel"
+    train_dir: str = "/tmp/yt8m_model/"
+    output_file: str = ""
+    top_k: int = 20
+    checkpoint_step: Optional[int] = None
+    # pre-ensemble dump of dense probabilities (fork inference-pre-ensemble)
+    output_probabilities_dir: str = ""
+    seed: int = 0
+    hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
+
+    def resolved_hparams(self) -> ModelHParams:
+        return self.hparams.replace(
+            vocab_size=self.num_classes, max_frames=self.max_frames
+        )

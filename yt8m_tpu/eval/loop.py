@@ -1,0 +1,119 @@
+"""Evaluation driver (reference: eval.py :: evaluation_loop).
+
+Streams the validate split through the jitted forward pass, accumulates
+GAP@20 / Hit@1 / PERR / mAP, and emits the reference's canonical log line.
+Supports one-shot (--run_once) and checkpoint-sweep modes, plus evaluating
+a specific step (used by checkpoint ensembling).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from yt8m_tpu.config import EvalConfig
+from yt8m_tpu.data.readers import BatchIterator
+from yt8m_tpu.metrics import EvaluationMetrics
+from yt8m_tpu.models import get_model
+from yt8m_tpu.parallel import mesh as mesh_lib
+from yt8m_tpu.train import losses as losses_lib
+from yt8m_tpu.train.checkpoint import CheckpointManager
+from yt8m_tpu.train.loop import reader_config_from
+from yt8m_tpu.train.state import init_train_state, make_optimizer
+from yt8m_tpu.train.step import make_eval_step
+
+log = logging.getLogger("yt8m_tpu.eval")
+
+
+def evaluate_checkpoint(
+    config: EvalConfig,
+    step: Optional[int] = None,
+    state=None,
+) -> Dict:
+    """Evaluate one checkpoint (or a passed-in state); returns metric dict."""
+    cfg = config
+    hp = cfg.resolved_hparams()
+    model = get_model(cfg.model, hp)
+    loss_obj = losses_lib.get_loss(cfg.label_loss)
+    mesh = mesh_lib.make_mesh()
+    rc = reader_config_from(cfg)
+
+    it = BatchIterator(
+        cfg.eval_data_pattern,
+        rc,
+        batch_size=cfg.batch_size,
+        shuffle=False,
+        num_epochs=1,
+        pad_final_batch=True,
+    )
+
+    eval_step = make_eval_step(model, loss_obj)
+    metrics = EvaluationMetrics(cfg.num_classes, top_k=cfg.top_k)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    restored = state is not None
+    ckpt = None
+    n_videos = 0
+    t0 = time.time()
+    for batch in it:
+        if not restored:
+            tx = make_optimizer(global_batch_size=cfg.batch_size)
+            state = init_train_state(
+                model, jax.random.PRNGKey(0), batch, tx, cfg.frame_features
+            )
+            ckpt = CheckpointManager(cfg.train_dir)
+            step = step if step is not None else ckpt.latest_step()
+            state = ckpt.restore(state, step)
+            state = jax.device_put(
+                state,
+                jax.tree_util.tree_map(
+                    lambda _: mesh_lib.replicated(mesh), state
+                ),
+            )
+            restored = True
+        device_batch = mesh_lib.shard_batch(batch, mesh)
+        preds, per_ex_loss = eval_step(state, device_batch, rng)
+        preds = np.asarray(jax.device_get(preds))
+        per_ex_loss = np.asarray(jax.device_get(per_ex_loss))
+        metrics.accumulate(
+            preds, batch["labels"], per_ex_loss, batch["batch_mask"]
+        )
+        n_videos += int(batch["batch_mask"].sum())
+    if ckpt is not None:
+        ckpt.close()
+
+    out = metrics.get()
+    out["videos_per_sec"] = n_videos / max(time.time() - t0, 1e-9)
+    out["step"] = step
+    mean_ap = float(np.mean(out["aps"])) if out["aps"] else 0.0
+    # Canonical reference log line (eval.py).
+    log.info(
+        "epoch/eval number %s | Avg_Hit@1: %.5f | Avg_PERR: %.5f | "
+        "MAP: %.5f | GAP: %.5f | Avg_Loss: %.5f",
+        step, out["avg_hit_at_one"], out["avg_perr"], mean_ap,
+        out["gap"], out["avg_loss"],
+    )
+    return out
+
+
+def evaluation_loop(config: EvalConfig) -> Dict:
+    """--run_once or poll-forever over new checkpoints (reference eval.py)."""
+    if config.run_once or config.checkpoint_step is not None:
+        return evaluate_checkpoint(config, step=config.checkpoint_step)
+    seen = set()
+    last = None
+    while True:
+        ckpt = CheckpointManager(config.train_dir)
+        steps = [s for s in ckpt.all_steps() if s not in seen]
+        ckpt.close()
+        if not steps:
+            time.sleep(10)
+            continue
+        for s in steps:
+            last = evaluate_checkpoint(config, step=s)
+            seen.add(s)
+    return last

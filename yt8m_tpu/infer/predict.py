@@ -1,0 +1,140 @@
+"""Inference driver (reference: inference.py :: inference, format_lines).
+
+Writes the Kaggle submission CSV — `VideoId,LabelConfidencePairs` with
+top-k `class score` pairs — and optionally dumps dense probabilities for
+the ensembling stage (fork: inference-pre-ensemble.py).
+
+TPU path: jitted forward + on-device top-k, so only [B, 2k] scalars cross
+back to the host per batch.
+"""
+
+from __future__ import annotations
+
+import gzip
+import logging
+import os
+import time
+from typing import Optional
+
+import jax
+import numpy as np
+
+from yt8m_tpu.config import InferenceConfig
+from yt8m_tpu.data.readers import BatchIterator
+from yt8m_tpu.models import get_model
+from yt8m_tpu.parallel import mesh as mesh_lib
+from yt8m_tpu.train.checkpoint import CheckpointManager
+from yt8m_tpu.train.loop import reader_config_from
+from yt8m_tpu.train.state import init_train_state, make_optimizer
+from yt8m_tpu.train.step import make_predict_step, make_topk_predict_step
+
+log = logging.getLogger("yt8m_tpu.infer")
+
+
+def format_lines(video_ids, top_values, top_indices):
+    """One CSV line per video: `vid,cls1 p1 cls2 p2 ...` sorted desc.
+
+    Reference inference.py :: format_lines ("%i %g" pairs).
+    """
+    lines = []
+    for vid, vals, idxs in zip(video_ids, top_values, top_indices):
+        order = np.argsort(-vals, kind="stable")
+        pairs = " ".join(
+            "%i %g" % (int(idxs[j]), float(vals[j])) for j in order
+        )
+        vid_str = vid.decode() if isinstance(vid, bytes) else str(vid)
+        lines.append(f"{vid_str},{pairs}\n")
+    return lines
+
+
+def inference(config: InferenceConfig, state=None) -> dict:
+    cfg = config
+    hp = cfg.resolved_hparams()
+    model = get_model(cfg.model, hp)
+    mesh = mesh_lib.make_mesh()
+    rc = reader_config_from(cfg)
+
+    it = BatchIterator(
+        cfg.input_data_pattern,
+        rc,
+        batch_size=cfg.batch_size,
+        shuffle=False,
+        num_epochs=1,
+        pad_final_batch=True,
+    )
+
+    topk_step = make_topk_predict_step(model, cfg.top_k)
+    dense_step = (
+        make_predict_step(model) if cfg.output_probabilities_dir else None
+    )
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    out_file = cfg.output_file
+    opener = gzip.open if out_file.endswith(".gz") else open
+    if cfg.output_probabilities_dir:
+        os.makedirs(cfg.output_probabilities_dir, exist_ok=True)
+
+    restored = state is not None
+    n_videos, n_chunks = 0, 0
+    t0 = time.time()
+    f = opener(out_file, "wt") if out_file else None
+    try:
+        if f:
+            f.write("VideoId,LabelConfidencePairs\n")
+        for batch in it:
+            if not restored:
+                tx = make_optimizer(global_batch_size=cfg.batch_size)
+                state = init_train_state(
+                    model, jax.random.PRNGKey(0), batch, tx,
+                    cfg.frame_features,
+                )
+                ckpt = CheckpointManager(cfg.train_dir)
+                state = ckpt.restore(state, cfg.checkpoint_step)
+                ckpt.close()
+                state = jax.device_put(
+                    state,
+                    jax.tree_util.tree_map(
+                        lambda _: mesh_lib.replicated(mesh), state
+                    ),
+                )
+                restored = True
+            device_batch = mesh_lib.shard_batch(batch, mesh)
+            keep = batch["batch_mask"] > 0
+            if f is not None:
+                values, indices = topk_step(state, device_batch, rng)
+                values = np.asarray(jax.device_get(values))[keep]
+                indices = np.asarray(jax.device_get(indices))[keep]
+                ids = [v for v, m in zip(batch["id"], keep) if m]
+                f.writelines(format_lines(ids, values, indices))
+            if dense_step is not None:
+                dense = np.asarray(
+                    jax.device_get(dense_step(state, device_batch, rng))
+                )[keep]
+                ids = np.asarray(
+                    [v for v, m in zip(batch["id"], keep) if m], dtype=object
+                )
+                np.savez_compressed(
+                    os.path.join(
+                        cfg.output_probabilities_dir,
+                        f"predictions-{n_chunks:05d}.npz",
+                    ),
+                    ids=np.asarray(
+                        [i.decode() if isinstance(i, bytes) else str(i)
+                         for i in ids]
+                    ),
+                    predictions=dense.astype(np.float16),
+                )
+                n_chunks += 1
+            n_videos += int(keep.sum())
+    finally:
+        if f:
+            f.close()
+
+    dt = max(time.time() - t0, 1e-9)
+    stats = {"num_videos": n_videos, "videos_per_sec": n_videos / dt}
+    log.info(
+        "inference done: %d videos at %.1f videos/sec -> %s",
+        n_videos, stats["videos_per_sec"], out_file or
+        cfg.output_probabilities_dir,
+    )
+    return stats

@@ -1,0 +1,157 @@
+"""Attention-pooling frame models.
+
+Reference: fork `all_frame_models/attention_*.py` — "attention pooling",
+one of the Monkeytyping paper's two novel structures (SURVEY.md §2.2):
+learned per-head frame scores, masked softmax over time, per-head weighted
+sums concatenated into the video representation.
+
+TPU notes: scores are one [B*F, D] x [D, heads] matmul; pooling is a
+batched [B, heads, F] x [B, F, D] matmul — both MXU-dense; padding is
+masked with -inf before the time softmax (SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from yt8m_tpu.models.frame_utils import frame_mask
+from yt8m_tpu.models.heads import l2_loss
+from yt8m_tpu.models.hparams import ModelHParams
+from yt8m_tpu.models.registry import register
+from yt8m_tpu.models.video import make_classifier_head
+
+
+class _AttentionPool(nn.Module):
+    heads: int
+    dtype: object = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames, mask):
+        """frames [B, F, D], mask [B, F] -> pooled [B, heads * D]."""
+        b, f, d = frames.shape
+        h = self.heads
+        query = self.param(
+            "attention_query",
+            nn.initializers.normal(1.0 / jnp.sqrt(d)),
+            (d, h),
+            jnp.float32,
+        )
+        scores = jnp.dot(
+            frames.reshape(b * f, d).astype(self.dtype),
+            query.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, f, h)
+        scores = jnp.where(mask[:, :, None] > 0, scores, -1e9)
+        attn = nn.softmax(scores, axis=1)  # over time
+        pooled = jnp.einsum(
+            "bfh,bfd->bhd",
+            attn.astype(self.dtype),
+            frames.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return pooled.reshape(b, h * d), l2_loss(query)
+
+
+@register("AttentionPoolingModel", frame_level=True)
+class AttentionPoolingModel(nn.Module):
+    hp: ModelHParams
+
+    @nn.compact
+    def __call__(self, features, num_frames, train: bool = False, **kw):
+        hp = self.hp
+        mask = frame_mask(num_frames, features.shape[1], jnp.float32)
+        pooled, reg = _AttentionPool(
+            heads=hp.attention_heads, dtype=hp.dtype, name="attention"
+        )(features, mask)
+
+        proj = self.param(
+            "proj_weights",
+            nn.initializers.normal(1.0 / jnp.sqrt(pooled.shape[-1])),
+            (pooled.shape[-1], hp.attention_hidden_size),
+            jnp.float32,
+        )
+        hidden = jnp.dot(
+            pooled.astype(hp.dtype),
+            proj.astype(hp.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        hidden = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.99,
+            epsilon=1e-3,
+            dtype=jnp.float32,
+            name="proj_bn",
+        )(hidden)
+        hidden = nn.relu(hidden)
+
+        out = make_classifier_head(hp)(hidden)
+        out["regularization_loss"] = out.get(
+            "regularization_loss", 0.0
+        ) + hp.l2_penalty * (reg + l2_loss(proj))
+        return out
+
+
+@register("MultiHeadAttentionModel", frame_level=True)
+class MultiHeadAttentionModel(nn.Module):
+    """Scaled dot-product variant: projected keys, learned query vectors.
+
+    k = frames @ W_k;  score_h = <k, q_h> / sqrt(dk);  masked softmax over
+    time; per-head pooled values concatenated -> classifier.
+    """
+
+    hp: ModelHParams
+
+    @nn.compact
+    def __call__(self, features, num_frames, train: bool = False, **kw):
+        hp = self.hp
+        b, f, d = features.shape
+        h = hp.attention_heads
+        dk = hp.attention_hidden_size
+        mask = frame_mask(num_frames, f, jnp.float32)
+
+        wk = self.param(
+            "key_weights",
+            nn.initializers.normal(1.0 / jnp.sqrt(d)),
+            (d, dk),
+            jnp.float32,
+        )
+        wv = self.param(
+            "value_weights",
+            nn.initializers.normal(1.0 / jnp.sqrt(d)),
+            (d, dk),
+            jnp.float32,
+        )
+        queries = self.param(
+            "queries",
+            nn.initializers.normal(1.0),
+            (h, dk),
+            jnp.float32,
+        )
+        keys = jnp.dot(
+            features.reshape(b * f, d).astype(hp.dtype),
+            wk.astype(hp.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, f, dk)
+        values = jnp.dot(
+            features.reshape(b * f, d).astype(hp.dtype),
+            wv.astype(hp.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, f, dk)
+        scores = jnp.einsum(
+            "bfk,hk->bfh", keys, queries, preferred_element_type=jnp.float32
+        ) / jnp.sqrt(jnp.float32(dk))
+        scores = jnp.where(mask[:, :, None] > 0, scores, -1e9)
+        attn = nn.softmax(scores, axis=1)
+        pooled = jnp.einsum(
+            "bfh,bfk->bhk",
+            attn.astype(hp.dtype),
+            values.astype(hp.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, h * dk)
+
+        out = make_classifier_head(hp)(pooled)
+        out["regularization_loss"] = out.get(
+            "regularization_loss", 0.0
+        ) + hp.l2_penalty * l2_loss(wk, wv, queries)
+        return out

@@ -1,0 +1,68 @@
+"""Model hyper-parameters — one dataclass covering the reference's flag
+surface (the reference scattered tf.app.flags across model files; see
+SURVEY.md §5.6). CLI flags with the same names map 1:1 onto these fields.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelHParams:
+    vocab_size: int = 4716
+    feature_dim: int = 1152
+    max_frames: int = 300
+    compute_dtype: str = "bfloat16"
+
+    # video_level_models.py flags
+    moe_num_mixtures: int = 2
+    moe_l2_penalty: float = 1e-8
+    l2_penalty: float = 1e-8
+
+    # frame_level_models.py :: DbofModel flags
+    dbof_cluster_size: int = 8192
+    dbof_hidden_size: int = 1024
+    dbof_pooling_method: str = "max"  # max | average
+    dbof_add_batch_norm: bool = True
+    sample_random_frames: bool = True
+    iterations: int = 30  # frames sampled per video
+    video_level_classifier_model: str = "MoeModel"
+
+    # frame_level_models.py :: LstmModel / GRU family flags
+    lstm_cells: int = 1024
+    lstm_layers: int = 2
+    lstm_pooling: str = "last"  # last | max | mean
+    rnn_bidirectional: bool = False
+    gru_cells: int = 1024
+    gru_layers: int = 2
+
+    # NetVLAD family (fork: all_frame_models/netvlad_model.py-like)
+    netvlad_cluster_size: int = 256
+    netvlad_hidden_size: int = 1024
+    netvlad_add_batch_norm: bool = True
+    netvlad_gating: bool = True
+    netvlad_sample_frames: int = 0  # 0 = use all (masked) frames
+
+    # Attention pooling family (fork: attention_*.py)
+    attention_heads: int = 8
+    attention_hidden_size: int = 512
+    attention_cluster_size: int = 32
+
+    # Chaining family (fork: chain_*.py)
+    chain_stages: int = 3
+    chain_hidden_size: int = 1024
+    chain_aux_loss_weight: float = 0.5
+
+    # Distillation
+    distill_alpha: float = 0.5
+
+    @property
+    def dtype(self) -> Any:
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def replace(self, **kw) -> "ModelHParams":
+        return dataclasses.replace(self, **kw)

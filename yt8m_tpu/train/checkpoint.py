@@ -1,0 +1,77 @@
+"""Checkpointing via orbax (reference: tf.train.Saver under Supervisor,
+plus --start_new_model wipe; SURVEY.md §5.3/5.4).
+
+Restart-idempotent: `restore_or_init` resumes from the latest step if the
+train dir has one, mirroring Supervisor's auto-recovery.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 5,
+        save_interval_steps: int = 1,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep,
+                save_interval_steps=save_interval_steps,
+                create=True,
+                enable_async_checkpointing=False,
+            ),
+        )
+
+    def save(self, step: int, state) -> bool:
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(jax.device_get(state))
+        )
+        self._mgr.wait_until_finished()
+        return saved
+
+    def force_save(self, step: int, state) -> bool:
+        if step in self._mgr.all_steps():
+            return False
+        saved = self._mgr.save(
+            step, args=ocp.args.StandardSave(jax.device_get(state)), force=True
+        )
+        self._mgr.wait_until_finished()
+        return saved
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def all_steps(self):
+        return sorted(self._mgr.all_steps())
+
+    def restore(self, state, step: Optional[int] = None):
+        """Restore into the structure of `state` (abstract or concrete)."""
+        if step is None:
+            step = self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
+        return self._mgr.restore(
+            step, args=ocp.args.StandardRestore(abstract)
+        )
+
+    def close(self):
+        self._mgr.close()
+
+
+def maybe_wipe_train_dir(train_dir: str, start_new_model: bool) -> None:
+    """--start_new_model semantics (reference train.py removes the dir)."""
+    if start_new_model and os.path.isdir(train_dir):
+        shutil.rmtree(train_dir)

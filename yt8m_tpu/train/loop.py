@@ -1,0 +1,178 @@
+"""Training driver (reference: train.py :: Trainer).
+
+Structure: reader -> sharded device batches -> one jitted SPMD train step
+(donated state) -> periodic orbax checkpoints + reference-style log lines
+(Loss / Examples-sec / train-batch Hit@1-PERR-GAP).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Iterator, Optional
+
+import jax
+import numpy as np
+
+from yt8m_tpu.config import TrainConfig
+from yt8m_tpu.data.readers import BatchIterator, ReaderConfig
+from yt8m_tpu.metrics import (
+    calculate_gap,
+    calculate_hit_at_one,
+    calculate_precision_at_equal_recall_rate,
+)
+from yt8m_tpu.models import get_model, is_frame_level_model
+from yt8m_tpu.parallel import mesh as mesh_lib
+from yt8m_tpu.train import losses as losses_lib
+from yt8m_tpu.train.checkpoint import CheckpointManager, maybe_wipe_train_dir
+from yt8m_tpu.train.state import init_train_state, make_optimizer
+from yt8m_tpu.train.step import make_train_step
+
+log = logging.getLogger("yt8m_tpu.train")
+
+
+def reader_config_from(cfg) -> ReaderConfig:
+    rc = ReaderConfig(
+        feature_names=cfg.feature_names,
+        feature_sizes=cfg.feature_sizes,
+        frame_features=cfg.frame_features,
+        num_classes=cfg.num_classes,
+        max_frames=cfg.max_frames,
+    )
+    if getattr(cfg, "distill_data_pattern", ""):
+        rc.distill_feature = "predictions"
+    return rc
+
+
+class Trainer:
+    def __init__(self, config: TrainConfig, data_iterator=None):
+        self.config = config
+        cfg = config
+        maybe_wipe_train_dir(cfg.train_dir, cfg.start_new_model)
+
+        self.hparams = cfg.resolved_hparams()
+        if is_frame_level_model(cfg.model) != cfg.frame_features:
+            log.warning(
+                "model %s frame-level=%s but --frame_features=%s",
+                cfg.model,
+                is_frame_level_model(cfg.model),
+                cfg.frame_features,
+            )
+        self.model = get_model(cfg.model, self.hparams)
+        self.loss_obj = losses_lib.get_loss(cfg.label_loss)
+        self.mesh = mesh_lib.make_mesh(cfg.num_devices, cfg.model_parallel)
+
+        if data_iterator is None:
+            rc = reader_config_from(cfg)
+            data_iterator = BatchIterator(
+                cfg.train_data_pattern,
+                rc,
+                batch_size=cfg.batch_size,
+                shuffle=True,
+                num_epochs=cfg.num_epochs,
+                seed=cfg.seed,
+                pad_final_batch=True,
+            )
+        self.data_iterator = data_iterator
+
+        self.tx = make_optimizer(
+            optimizer=cfg.optimizer,
+            base_learning_rate=cfg.base_learning_rate,
+            learning_rate_decay=cfg.learning_rate_decay,
+            learning_rate_decay_examples=cfg.learning_rate_decay_examples,
+            global_batch_size=cfg.batch_size,
+            clip_gradient_norm=cfg.clip_gradient_norm,
+        )
+        self.train_step = make_train_step(
+            self.model,
+            self.loss_obj,
+            regularization_penalty=cfg.regularization_penalty,
+            aux_loss_weight=self.hparams.chain_aux_loss_weight,
+        )
+        self.ckpt = CheckpointManager(
+            cfg.train_dir,
+            max_to_keep=cfg.max_checkpoints_to_keep,
+            save_interval_steps=cfg.save_checkpoint_every_n_steps,
+        )
+
+    # -- state ------------------------------------------------------------
+
+    def _init_state(self, sample_batch):
+        cfg = self.config
+        state = init_train_state(
+            self.model,
+            jax.random.PRNGKey(cfg.seed),
+            sample_batch,
+            self.tx,
+            cfg.frame_features,
+        )
+        latest = self.ckpt.latest_step()
+        if latest is not None:
+            log.info("restoring checkpoint at step %d", latest)
+            state = self.ckpt.restore(state, latest)
+        # Place: params/opt replicated or TP-sharded, per mesh policy.
+        shardings = jax.tree_util.tree_map(
+            lambda _: mesh_lib.replicated(self.mesh), state
+        )
+        shardings = shardings.replace(
+            params=mesh_lib.tree_param_shardings(state.params, self.mesh)
+        )
+        return jax.device_put(state, shardings)
+
+    # -- loop ---------------------------------------------------------------
+
+    def run(self) -> int:
+        cfg = self.config
+        base_key = jax.random.PRNGKey(cfg.seed + 1)
+        state = None
+        step = 0
+        t_log = time.time()
+        examples_since_log = 0
+        profiling = False
+
+        for batch in self.data_iterator:
+            if state is None:
+                state = self._init_state(batch)
+                step = int(jax.device_get(state.step))
+            if cfg.max_steps is not None and step >= cfg.max_steps:
+                break
+            if cfg.profile_dir and step == 10 and not profiling:
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+
+            device_batch = mesh_lib.shard_batch(batch, self.mesh)
+            rng = jax.random.fold_in(base_key, step)
+            state, metrics = self.train_step(state, device_batch, rng)
+            step += 1
+            examples_since_log += int(batch["batch_mask"].sum())
+
+            if cfg.profile_dir and profiling and step == 20:
+                jax.profiler.stop_trace()
+                profiling = False
+
+            if step % cfg.log_every_n_steps == 0:
+                loss = float(jax.device_get(metrics["loss"]))
+                dt = time.time() - t_log
+                eps = examples_since_log / max(dt, 1e-9)
+                preds = np.asarray(jax.device_get(metrics["predictions"]))
+                mask = batch["batch_mask"] > 0
+                labels = batch["labels"][mask]
+                preds = preds[: mask.shape[0]][mask]
+                hit1 = calculate_hit_at_one(preds, labels)
+                perr = calculate_precision_at_equal_recall_rate(preds, labels)
+                gap = calculate_gap(preds, labels)
+                log.info(
+                    "training step %d | Loss: %.5f Examples/sec: %.2f | "
+                    "Hit@1: %.4f PERR: %.4f GAP: %.4f",
+                    step, loss, eps, hit1, perr, gap,
+                )
+                t_log = time.time()
+                examples_since_log = 0
+
+            self.ckpt.save(step, state)
+
+        if state is not None:
+            self.ckpt.force_save(step, state)
+        self.ckpt.close()
+        log.info("training complete at step %d", step)
+        return step

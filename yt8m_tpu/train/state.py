@@ -1,0 +1,98 @@
+"""Train state + optimizer factory.
+
+Reference train.py: AdamOptimizer, exponential LR decay staircased on
+examples seen (`tf.train.exponential_decay(base_lr, global_step * batch,
+learning_rate_decay_examples, learning_rate_decay, staircase=True)`),
+`clip_gradient_norms` per-variable clip before apply.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+from flax.training import train_state
+
+
+class TrainState(train_state.TrainState):
+    """flax TrainState + batch_stats (DBoF/NetVLAD use BatchNorm)."""
+
+    batch_stats: Any = flax.core.FrozenDict()
+
+
+def make_lr_schedule(
+    base_learning_rate: float,
+    learning_rate_decay: float,
+    learning_rate_decay_examples: int,
+    global_batch_size: int,
+) -> optax.Schedule:
+    transition = max(learning_rate_decay_examples // global_batch_size, 1)
+    return optax.exponential_decay(
+        init_value=base_learning_rate,
+        transition_steps=transition,
+        decay_rate=learning_rate_decay,
+        staircase=True,
+    )
+
+
+def make_optimizer(
+    optimizer: str = "AdamOptimizer",
+    base_learning_rate: float = 0.01,
+    learning_rate_decay: float = 0.95,
+    learning_rate_decay_examples: int = 4_000_000,
+    global_batch_size: int = 1024,
+    clip_gradient_norm: float = 1.0,
+) -> optax.GradientTransformation:
+    sched = make_lr_schedule(
+        base_learning_rate,
+        learning_rate_decay,
+        learning_rate_decay_examples,
+        global_batch_size,
+    )
+    opts = {
+        "AdamOptimizer": lambda: optax.adam(sched, eps=1e-8),
+        "SgdOptimizer": lambda: optax.sgd(sched),
+        "GradientDescentOptimizer": lambda: optax.sgd(sched),
+        "RMSPropOptimizer": lambda: optax.rmsprop(sched),
+        "AdagradOptimizer": lambda: optax.adagrad(sched),
+    }
+    if optimizer not in opts:
+        raise ValueError(
+            f"unknown optimizer {optimizer!r}; available {sorted(opts)}"
+        )
+    tx = opts[optimizer]()
+    if clip_gradient_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_gradient_norm), tx)
+    return tx
+
+
+def init_train_state(
+    model,
+    rng: jax.Array,
+    sample_batch: dict,
+    tx: optax.GradientTransformation,
+    frame_level: bool,
+) -> TrainState:
+    """Initialise params/batch_stats from a (host, unsharded) sample batch."""
+    feats = jnp.asarray(sample_batch["features"][:2])
+    if feats.dtype == jnp.uint8:
+        from yt8m_tpu.data.quantize import dequantize
+
+        feats = dequantize(feats.astype(jnp.float32))
+    num_frames = jnp.asarray(sample_batch["num_frames"][:2])
+    params_rng, sample_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": params_rng, "sample": sample_rng},
+        feats,
+        num_frames,
+        train=False,
+    )
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", flax.core.FrozenDict()),
+        tx=tx,
+    )

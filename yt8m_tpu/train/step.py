@@ -1,0 +1,171 @@
+"""Jitted train/eval/predict step factories.
+
+One SPMD program: batch sharded over the 'data' mesh axis, params
+replicated (or TP-sharded per parallel.mesh policy); GSPMD inserts the
+gradient all-reduce over ICI. Donated state for in-place HBM update.
+
+Reference counterpart: the per-tower build in train.py :: build_graph plus
+utils.combine_gradients / clip_gradient_norms — all replaced by one jit.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from yt8m_tpu.data.quantize import dequantize
+from yt8m_tpu.train.losses import BaseLoss
+
+
+def _prepare_features(feats):
+    """On-device uint8 -> float dequantize (uint8 rides the host->device
+    wire; SURVEY.md §6 bandwidth constraint)."""
+    if feats.dtype == jnp.uint8:
+        return dequantize(feats.astype(jnp.float32))
+    return feats
+
+
+def _masked_mean(per_example, mask):
+    denom = jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.sum(per_example * mask) / denom
+
+
+def make_train_step(
+    model,
+    loss_obj: BaseLoss,
+    regularization_penalty: float = 1.0,
+    aux_loss_weight: float = 0.5,
+    donate: bool = True,
+):
+    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+
+    def train_step(state, batch, rng):
+        feats = _prepare_features(batch["features"])
+        labels = batch["labels"]
+        mask = batch["batch_mask"]
+        num_frames = batch["num_frames"]
+        teacher = batch.get("teacher")
+
+        def loss_fn(params):
+            variables = {"params": params}
+            has_bn = bool(state.batch_stats)
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+            out = model.apply(
+                variables,
+                feats,
+                num_frames,
+                train=True,
+                teacher=teacher,
+                rngs={"sample": rng},
+                mutable=["batch_stats"] if has_bn else False,
+            )
+            if has_bn:
+                out, new_model_state = out
+            else:
+                new_model_state = {}
+            per_ex = loss_obj.calculate_loss(
+                out["predictions"], labels, teacher=teacher
+            )
+            label_loss = _masked_mean(per_ex, mask)
+            total = label_loss
+            for aux_pred in out.get("aux_predictions", []):
+                aux = _masked_mean(
+                    loss_obj.calculate_loss(aux_pred, labels, teacher=teacher),
+                    mask,
+                )
+                total = total + aux_loss_weight * aux
+            reg = out.get("regularization_loss", jnp.float32(0.0))
+            total = total + regularization_penalty * reg
+            return total, (out, new_model_state, label_loss, reg)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (total_loss, (out, new_model_state, label_loss, reg)), grads = (
+            grad_fn(state.params)
+        )
+        state = state.apply_gradients(grads=grads)
+        if new_model_state:
+            state = state.replace(
+                batch_stats=new_model_state["batch_stats"]
+            )
+        metrics = {
+            "loss": total_loss,
+            "label_loss": label_loss,
+            "reg_loss": reg,
+            "predictions": out["predictions"],
+        }
+        return state, metrics
+
+    if donate:
+        return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step)
+
+
+def make_eval_step(model, loss_obj: BaseLoss):
+    """eval_step(state, batch, rng) -> (predictions, per_example_loss)."""
+
+    def eval_step(state, batch, rng):
+        feats = _prepare_features(batch["features"])
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(
+            variables,
+            feats,
+            batch["num_frames"],
+            train=False,
+            teacher=batch.get("teacher"),
+            rngs={"sample": rng},
+        )
+        per_ex = loss_obj.calculate_loss(out["predictions"], batch["labels"])
+        return out["predictions"], per_ex
+
+    return jax.jit(eval_step)
+
+
+def make_predict_step(model):
+    """predict_step(state, batch, rng) -> predictions [B, C] float32."""
+
+    def predict_step(state, batch, rng):
+        feats = _prepare_features(batch["features"])
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(
+            variables,
+            feats,
+            batch["num_frames"],
+            train=False,
+            rngs={"sample": rng},
+        )
+        return out["predictions"]
+
+    return jax.jit(predict_step)
+
+
+def make_topk_predict_step(model, top_k: int = 20):
+    """predict -> (top-k values [B,k] f32, indices [B,k] i32), on device.
+
+    Keeping top-k on device shrinks device->host traffic from [B, 4716]
+    floats to [B, 2k] — part of the >=10k videos/sec/chip inference budget.
+    """
+
+    def step(state, batch, rng):
+        feats = _prepare_features(batch["features"])
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(
+            variables,
+            feats,
+            batch["num_frames"],
+            train=False,
+            rngs={"sample": rng},
+        )
+        values, indices = jax.lax.top_k(out["predictions"], top_k)
+        return values, indices.astype(jnp.int32)
+
+    return jax.jit(step)
