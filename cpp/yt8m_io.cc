@@ -1,0 +1,428 @@
+// yt8m_io — native TFRecord + tf.Example/SequenceExample batch parser.
+//
+// TPU-native equivalent of the reference's input path (readers.py delegated
+// to TF's C++ RecordReader + parse ops; SURVEY.md §2.3). Exposed as a C API
+// consumed via ctypes from yt8m_tpu/data/pipeline.py.
+//
+// Wire formats handled:
+//   TFRecord framing: u64 length | u32 masked-crc(length) | data | u32 crc.
+//   tf.Example          { Features features = 1; }
+//   tf.SequenceExample  { Features context = 1; FeatureLists lists = 2; }
+//   Features  { map<string, Feature> = 1 }   Feature { bytes_list=1 |
+//   float_list=2 | int64_list=3 }            *List { repeated value = 1 }
+//
+// Parsing is zero-copy until the final memcpy into the caller's batch
+// buffers; CRC checks are skipped on the hot path (TF's readers do the
+// same by default for local files).
+//
+// Build: g++ -O3 -shared -fPIC -o libyt8m_io.so yt8m_io.cc
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace {
+
+struct Slice {
+  const uint8_t* data = nullptr;
+  size_t len = 0;
+};
+
+// --- varint / wire helpers -------------------------------------------------
+
+inline bool read_varint(const uint8_t*& p, const uint8_t* end, uint64_t* out) {
+  uint64_t result = 0;
+  int shift = 0;
+  while (p < end && shift <= 63) {
+    uint8_t b = *p++;
+    result |= static_cast<uint64_t>(b & 0x7F) << shift;
+    if (!(b & 0x80)) {
+      *out = result;
+      return true;
+    }
+    shift += 7;
+  }
+  return false;
+}
+
+// Iterate protobuf fields of a message slice. Calls fn(field, wire, payload)
+// where payload is a Slice for wire==2 and the varint value packed in len
+// otherwise.
+template <typename Fn>
+bool for_each_field(Slice msg, Fn&& fn) {
+  const uint8_t* p = msg.data;
+  const uint8_t* end = msg.data + msg.len;
+  while (p < end) {
+    uint64_t key;
+    if (!read_varint(p, end, &key)) return false;
+    uint32_t field = static_cast<uint32_t>(key >> 3);
+    uint32_t wire = static_cast<uint32_t>(key & 7);
+    if (wire == 0) {
+      uint64_t v;
+      if (!read_varint(p, end, &v)) return false;
+      fn(field, wire, Slice{nullptr, static_cast<size_t>(v)});
+    } else if (wire == 1) {
+      if (p + 8 > end) return false;
+      fn(field, wire, Slice{p, 8});
+      p += 8;
+    } else if (wire == 2) {
+      uint64_t len;
+      if (!read_varint(p, end, &len)) return false;
+      if (p + len > end) return false;
+      fn(field, wire, Slice{p, static_cast<size_t>(len)});
+      p += len;
+    } else if (wire == 5) {
+      if (p + 4 > end) return false;
+      fn(field, wire, Slice{p, 4});
+      p += 4;
+    } else {
+      return false;
+    }
+  }
+  return true;
+}
+
+// Find first bytes value inside a BytesList Feature payload.
+Slice first_bytes_of_feature(Slice feature) {
+  Slice out;
+  for_each_field(feature, [&](uint32_t f, uint32_t w, Slice v) {
+    if (f == 1 && w == 2 && out.data == nullptr) {  // BytesList
+      for_each_field(v, [&](uint32_t f2, uint32_t w2, Slice v2) {
+        if (f2 == 1 && w2 == 2 && out.data == nullptr) out = v2;
+      });
+    }
+  });
+  return out;
+}
+
+void int64s_of_feature(Slice feature, std::vector<int64_t>* out) {
+  for_each_field(feature, [&](uint32_t f, uint32_t w, Slice v) {
+    if (f == 3 && w == 2) {  // Int64List
+      for_each_field(v, [&](uint32_t f2, uint32_t w2, Slice v2) {
+        if (f2 != 1) return;
+        if (w2 == 2) {  // packed
+          const uint8_t* p = v2.data;
+          const uint8_t* end = v2.data + v2.len;
+          uint64_t x;
+          while (p < end && read_varint(p, end, &x))
+            out->push_back(static_cast<int64_t>(x));
+        } else if (w2 == 0) {
+          out->push_back(static_cast<int64_t>(v2.len));
+        }
+      });
+    }
+  });
+}
+
+void floats_of_feature(Slice feature, std::vector<float>* out) {
+  for_each_field(feature, [&](uint32_t f, uint32_t w, Slice v) {
+    if (f == 2 && w == 2) {  // FloatList
+      for_each_field(v, [&](uint32_t f2, uint32_t w2, Slice v2) {
+        if (f2 != 1) return;
+        if (w2 == 2) {  // packed
+          size_t n = v2.len / 4;
+          size_t base = out->size();
+          out->resize(base + n);
+          memcpy(out->data() + base, v2.data, n * 4);
+        } else if (w2 == 5) {
+          float x;
+          memcpy(&x, v2.data, 4);
+          out->push_back(x);
+        }
+      });
+    }
+  });
+}
+
+// --- reader ------------------------------------------------------------------
+
+struct Reader {
+  std::vector<std::string> feature_names;
+  std::vector<int> feature_sizes;   // per-frame bytes (frame level) or float
+                                    // count (video level)
+  int max_frames = 300;
+  bool frame_level = true;
+  std::string distill_name;         // optional float context feature
+  int distill_dim = 0;
+
+  std::vector<std::string> paths;
+  size_t path_idx = 0;
+  FILE* f = nullptr;
+  std::vector<uint8_t> rec_buf;
+
+  ~Reader() {
+    if (f) fclose(f);
+  }
+
+  bool next_record(Slice* rec) {
+    for (;;) {
+      if (!f) {
+        if (path_idx >= paths.size()) return false;
+        f = fopen(paths[path_idx].c_str(), "rb");
+        ++path_idx;
+        if (!f) continue;
+      }
+      uint8_t header[12];
+      if (fread(header, 1, 12, f) != 12) {
+        fclose(f);
+        f = nullptr;
+        continue;
+      }
+      uint64_t len;
+      memcpy(&len, header, 8);  // little-endian hosts only (x86/ARM LE)
+      rec_buf.resize(len);
+      if (fread(rec_buf.data(), 1, len, f) != len) {
+        fclose(f);
+        f = nullptr;
+        continue;
+      }
+      if (fseek(f, 4, SEEK_CUR) != 0) {  // skip data crc
+        fclose(f);
+        f = nullptr;
+        continue;
+      }
+      rec->data = rec_buf.data();
+      rec->len = len;
+      return true;
+    }
+  }
+};
+
+// Extract named features from a Features message into parallel slices.
+struct ContextOut {
+  Slice id;
+  std::vector<int64_t> labels;
+  std::vector<float> distill;
+};
+
+void parse_features_map(Slice features_msg, const std::string& distill_name,
+                        ContextOut* out,
+                        const std::vector<std::string>* names = nullptr,
+                        std::vector<std::vector<float>>* floats = nullptr) {
+  for_each_field(features_msg, [&](uint32_t f, uint32_t w, Slice entry) {
+    if (f != 1 || w != 2) return;
+    Slice key, feat;
+    for_each_field(entry, [&](uint32_t f2, uint32_t w2, Slice v) {
+      if (f2 == 1 && w2 == 2) key = v;
+      if (f2 == 2 && w2 == 2) feat = v;
+    });
+    if (!key.data) return;
+    std::string k(reinterpret_cast<const char*>(key.data), key.len);
+    if (k == "id" || k == "video_id") {
+      out->id = first_bytes_of_feature(feat);
+    } else if (k == "labels") {
+      int64s_of_feature(feat, &out->labels);
+    } else if (!distill_name.empty() && k == distill_name) {
+      floats_of_feature(feat, &out->distill);
+    } else if (names && floats) {
+      for (size_t i = 0; i < names->size(); ++i) {
+        if (k == (*names)[i]) {
+          floats_of_feature(feat, &(*floats)[i]);
+          break;
+        }
+      }
+    }
+  });
+}
+
+}  // namespace
+
+extern "C" {
+
+Reader* yt8m_reader_new(const char* const* feature_names,
+                        const int* feature_sizes, int num_features,
+                        int max_frames, int frame_level,
+                        const char* distill_name, int distill_dim) {
+  Reader* r = new Reader();
+  for (int i = 0; i < num_features; ++i) {
+    r->feature_names.emplace_back(feature_names[i]);
+    r->feature_sizes.push_back(feature_sizes[i]);
+  }
+  r->max_frames = max_frames;
+  r->frame_level = frame_level != 0;
+  if (distill_name && distill_name[0]) {
+    r->distill_name = distill_name;
+    r->distill_dim = distill_dim;
+  }
+  return r;
+}
+
+void yt8m_reader_add_file(Reader* r, const char* path) {
+  r->paths.emplace_back(path);
+}
+
+void yt8m_reader_free(Reader* r) { delete r; }
+
+// Frame-level batch. Buffers (caller-allocated):
+//   features   u8 [batch, max_frames, sum(sizes)]   (zero-filled here)
+//   num_frames i32 [batch]
+//   label_off  i32 [batch + 1]
+//   labels     i32 [labels_cap]
+//   ids        char [batch * id_stride]
+//   distill    f32 [batch * distill_dim] (may be null)
+// Returns number of videos written (0 = end of data), or -1 on error.
+int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
+                                 int32_t* num_frames, int32_t* label_off,
+                                 int32_t* labels, int labels_cap, char* ids,
+                                 int id_stride, float* distill) {
+  if (!r->frame_level) return -1;
+  int total_dim = 0;
+  for (int s : r->feature_sizes) total_dim += s;
+  const size_t video_bytes =
+      static_cast<size_t>(r->max_frames) * total_dim;
+  memset(features, 0, static_cast<size_t>(batch) * video_bytes);
+  if (distill && r->distill_dim)
+    memset(distill, 0, sizeof(float) * batch * r->distill_dim);
+
+  int n = 0;
+  int label_cursor = 0;
+  label_off[0] = 0;
+  Slice rec;
+  while (n < batch && r->next_record(&rec)) {
+    Slice context, lists;
+    for_each_field(rec, [&](uint32_t f, uint32_t w, Slice v) {
+      if (f == 1 && w == 2) context = v;
+      if (f == 2 && w == 2) lists = v;
+    });
+
+    ContextOut ctx;
+    if (context.data) parse_features_map(context, r->distill_name, &ctx);
+
+    // feature_lists: copy each named list's per-frame bytes.
+    uint8_t* vid_base = features + static_cast<size_t>(n) * video_bytes;
+    int nf = -1;
+    if (lists.data) {
+      for_each_field(lists, [&](uint32_t f, uint32_t w, Slice entry) {
+        if (f != 1 || w != 2) return;
+        Slice key, flist;
+        for_each_field(entry, [&](uint32_t f2, uint32_t w2, Slice v) {
+          if (f2 == 1 && w2 == 2) key = v;
+          if (f2 == 2 && w2 == 2) flist = v;
+        });
+        if (!key.data || !flist.data) return;
+        std::string k(reinterpret_cast<const char*>(key.data), key.len);
+        int col = 0;
+        int size = 0;
+        bool found = false;
+        for (size_t i = 0; i < r->feature_names.size(); ++i) {
+          if (k == r->feature_names[i]) {
+            size = r->feature_sizes[i];
+            found = true;
+            break;
+          }
+          col += r->feature_sizes[i];
+        }
+        if (!found) return;
+        int t = 0;
+        for_each_field(flist, [&](uint32_t f3, uint32_t w3, Slice feat) {
+          if (f3 != 1 || w3 != 2) return;
+          if (t >= r->max_frames) {
+            ++t;
+            return;
+          }
+          Slice bytes = first_bytes_of_feature(feat);
+          if (bytes.data && static_cast<int>(bytes.len) == size) {
+            memcpy(vid_base + static_cast<size_t>(t) * total_dim + col,
+                   bytes.data, size);
+          }
+          ++t;
+        });
+        if (t > nf) nf = t;
+      });
+    }
+    num_frames[n] = nf < 0 ? 0
+                    : (nf > r->max_frames ? r->max_frames : nf);
+
+    // labels
+    for (int64_t c : ctx.labels) {
+      if (label_cursor < labels_cap)
+        labels[label_cursor++] = static_cast<int32_t>(c);
+    }
+    label_off[n + 1] = label_cursor;
+
+    // id
+    char* id_dst = ids + static_cast<size_t>(n) * id_stride;
+    size_t id_len = ctx.id.len < static_cast<size_t>(id_stride - 1)
+                        ? ctx.id.len
+                        : static_cast<size_t>(id_stride - 1);
+    memset(id_dst, 0, id_stride);
+    if (ctx.id.data) memcpy(id_dst, ctx.id.data, id_len);
+
+    if (distill && r->distill_dim && !ctx.distill.empty()) {
+      size_t m = ctx.distill.size() < static_cast<size_t>(r->distill_dim)
+                     ? ctx.distill.size()
+                     : static_cast<size_t>(r->distill_dim);
+      memcpy(distill + static_cast<size_t>(n) * r->distill_dim,
+             ctx.distill.data(), m * sizeof(float));
+    }
+    ++n;
+  }
+  return n;
+}
+
+// Video-level batch: features f32 [batch, sum(sizes)].
+int yt8m_reader_next_video_batch(Reader* r, int batch, float* features,
+                                 int32_t* label_off, int32_t* labels,
+                                 int labels_cap, char* ids, int id_stride,
+                                 float* distill) {
+  if (r->frame_level) return -1;
+  int total_dim = 0;
+  for (int s : r->feature_sizes) total_dim += s;
+  memset(features, 0, sizeof(float) * batch * total_dim);
+  if (distill && r->distill_dim)
+    memset(distill, 0, sizeof(float) * batch * r->distill_dim);
+
+  int n = 0;
+  int label_cursor = 0;
+  label_off[0] = 0;
+  Slice rec;
+  std::vector<std::vector<float>> floats(r->feature_names.size());
+  while (n < batch && r->next_record(&rec)) {
+    Slice feats_msg;
+    for_each_field(rec, [&](uint32_t f, uint32_t w, Slice v) {
+      if (f == 1 && w == 2) feats_msg = v;
+    });
+    ContextOut ctx;
+    for (auto& v : floats) v.clear();
+    if (feats_msg.data)
+      parse_features_map(feats_msg, r->distill_name, &ctx,
+                         &r->feature_names, &floats);
+
+    float* row = features + static_cast<size_t>(n) * total_dim;
+    int col = 0;
+    for (size_t i = 0; i < floats.size(); ++i) {
+      int want = r->feature_sizes[i];
+      int have = static_cast<int>(floats[i].size());
+      int m = have < want ? have : want;
+      if (m > 0) memcpy(row + col, floats[i].data(), m * sizeof(float));
+      col += want;
+    }
+
+    for (int64_t c : ctx.labels) {
+      if (label_cursor < labels_cap)
+        labels[label_cursor++] = static_cast<int32_t>(c);
+    }
+    label_off[n + 1] = label_cursor;
+
+    char* id_dst = ids + static_cast<size_t>(n) * id_stride;
+    size_t id_len = ctx.id.len < static_cast<size_t>(id_stride - 1)
+                        ? ctx.id.len
+                        : static_cast<size_t>(id_stride - 1);
+    memset(id_dst, 0, id_stride);
+    if (ctx.id.data) memcpy(id_dst, ctx.id.data, id_len);
+
+    if (distill && r->distill_dim && !ctx.distill.empty()) {
+      size_t m = ctx.distill.size() < static_cast<size_t>(r->distill_dim)
+                     ? ctx.distill.size()
+                     : static_cast<size_t>(r->distill_dim);
+      memcpy(distill + static_cast<size_t>(n) * r->distill_dim,
+             ctx.distill.data(), m * sizeof(float));
+    }
+    ++n;
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,107 @@
+"""Native C++ parser parity vs the pure-Python BatchIterator oracle."""
+
+import numpy as np
+import pytest
+
+from yt8m_tpu.data.pipeline import (
+    NativeBatchIterator,
+    get_native_lib,
+    make_batch_iterator,
+)
+from yt8m_tpu.data.readers import BatchIterator, ReaderConfig
+from yt8m_tpu.data.synthetic import (
+    write_frame_level_shard,
+    write_video_level_shard,
+)
+
+pytestmark = pytest.mark.skipif(
+    get_native_lib() is None, reason="native library unavailable"
+)
+
+C = 30
+
+
+def _compare_batches(native_batches, python_batches, frame_level):
+    assert len(native_batches) == len(python_batches)
+    for nb, pb in zip(native_batches, python_batches):
+        assert nb["id"] == pb["id"]
+        np.testing.assert_array_equal(nb["features"], pb["features"])
+        np.testing.assert_array_equal(nb["labels"], pb["labels"])
+        np.testing.assert_array_equal(nb["batch_mask"], pb["batch_mask"])
+        if frame_level:
+            np.testing.assert_array_equal(nb["num_frames"], pb["num_frames"])
+        if "teacher" in pb or "teacher" in nb:
+            np.testing.assert_allclose(
+                nb["teacher"], pb["teacher"], rtol=1e-6
+            )
+
+
+def test_video_level_parity(tmp_path):
+    p1 = str(tmp_path / "a.tfrecord")
+    p2 = str(tmp_path / "b.tfrecord")
+    write_video_level_shard(p1, 11, num_classes=C, seed=0)
+    write_video_level_shard(p2, 7, num_classes=C, seed=1)
+    cfg = ReaderConfig.video_level(num_classes=C)
+    nb = list(NativeBatchIterator([p1, p2], cfg, 4, prefetch=0))
+    pb = list(BatchIterator([p1, p2], cfg, 4))
+    _compare_batches(nb, pb, frame_level=False)
+
+
+def test_frame_level_parity(tmp_path):
+    p1 = str(tmp_path / "f.tfrecord")
+    write_frame_level_shard(
+        p1, 9, num_classes=C, min_frames=3, max_frames=25, seed=2
+    )
+    cfg = ReaderConfig.frame_level(num_classes=C, max_frames=15)
+    nb = list(NativeBatchIterator([p1], cfg, 4, prefetch=0))
+    pb = list(BatchIterator([p1], cfg, 4))
+    _compare_batches(nb, pb, frame_level=True)
+
+
+def test_frame_level_parity_with_prefetch(tmp_path):
+    p1 = str(tmp_path / "f.tfrecord")
+    write_frame_level_shard(p1, 20, num_classes=C, max_frames=30, seed=3)
+    cfg = ReaderConfig.frame_level(num_classes=C, max_frames=30)
+    nb = list(NativeBatchIterator([p1], cfg, 8, prefetch=2))
+    pb = list(BatchIterator([p1], cfg, 8))
+    _compare_batches(nb, pb, frame_level=True)
+
+
+def test_distill_feature_parity(tmp_path):
+    from yt8m_tpu.ensemble.distill import write_distill_dataset
+
+    src = str(tmp_path / "src.tfrecord")
+    ids = write_video_level_shard(src, 5, num_classes=C, seed=4)
+    teacher = {
+        v.decode(): np.random.default_rng(i).random(C).astype(np.float32)
+        for i, v in enumerate(ids)
+    }
+    out_dir = str(tmp_path / "distilled")
+    write_distill_dataset(src, teacher, out_dir, frame_level=False)
+    cfg = ReaderConfig.video_level(num_classes=C)
+    cfg.distill_feature = "predictions"
+    cfg.distill_dim = C
+    pattern = out_dir + "/*.tfrecord"
+    nb = list(NativeBatchIterator(pattern, cfg, 5, prefetch=0))
+    pb = list(BatchIterator(pattern, cfg, 5))
+    _compare_batches(nb, pb, frame_level=False)
+    assert "teacher" in nb[0]
+
+
+def test_multi_epoch_native(tmp_path):
+    p1 = str(tmp_path / "v.tfrecord")
+    write_video_level_shard(p1, 6, num_classes=C, seed=5)
+    cfg = ReaderConfig.video_level(num_classes=C)
+    batches = list(
+        NativeBatchIterator([p1], cfg, 4, num_epochs=2, prefetch=0)
+    )
+    total = sum(int(b["batch_mask"].sum()) for b in batches)
+    assert total == 12
+
+
+def test_make_batch_iterator_prefers_native(tmp_path):
+    p1 = str(tmp_path / "v.tfrecord")
+    write_video_level_shard(p1, 4, num_classes=C, seed=6)
+    cfg = ReaderConfig.video_level(num_classes=C)
+    it = make_batch_iterator([p1], cfg, 4)
+    assert isinstance(it, NativeBatchIterator)

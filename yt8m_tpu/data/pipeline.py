@@ -1,0 +1,291 @@
+"""High-throughput input pipeline: C++ parser + background prefetch.
+
+This is the performance path (reference: TF queue-runners with
+--num_readers parse threads feeding shuffle_batch_join; SURVEY.md §3.1).
+Here a native parser (cpp/yt8m_io.cc) fills batch buffers directly —
+uint8 frame features stay uint8 all the way to the device — and a
+prefetch thread overlaps parsing with TPU execution.
+
+Falls back to the pure-Python BatchIterator when the shared library can't
+be built (behavioural parity is tested either way).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import queue
+import subprocess
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from yt8m_tpu.data.readers import ReaderConfig
+from yt8m_tpu.data.tfrecord import glob_files
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SRC = os.path.join(_REPO_ROOT, "cpp", "yt8m_io.cc")
+_LIB_DIR = os.path.join(_REPO_ROOT, "build")
+_LIB = os.path.join(_LIB_DIR, "libyt8m_io.so")
+
+_lib_handle = None
+_lib_lock = threading.Lock()
+
+
+def _build_library() -> Optional[str]:
+    os.makedirs(_LIB_DIR, exist_ok=True)
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(
+        _SRC
+    ):
+        return _LIB
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        "-o", _LIB, _SRC,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return _LIB
+    except (subprocess.CalledProcessError, FileNotFoundError,
+            subprocess.TimeoutExpired):
+        return None
+
+
+def get_native_lib():
+    """Load (building if needed) the native parser; None if unavailable."""
+    global _lib_handle
+    with _lib_lock:
+        if _lib_handle is not None:
+            return _lib_handle or None
+        path = _build_library()
+        if path is None:
+            _lib_handle = False
+            return None
+        lib = ctypes.CDLL(path)
+        lib.yt8m_reader_new.restype = ctypes.c_void_p
+        lib.yt8m_reader_new.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+        lib.yt8m_reader_add_file.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p
+        ]
+        lib.yt8m_reader_free.argtypes = [ctypes.c_void_p]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.yt8m_reader_next_frame_batch.restype = ctypes.c_int
+        lib.yt8m_reader_next_frame_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, u8p, i32p, i32p, i32p,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.yt8m_reader_next_video_batch.restype = ctypes.c_int
+        lib.yt8m_reader_next_video_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, f32p, i32p, i32p,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
+        ]
+        _lib_handle = lib
+        return lib
+
+
+_ID_STRIDE = 32
+_LABELS_PER_VIDEO_CAP = 64
+
+
+class NativeBatchIterator:
+    """Batches from the C++ parser; same batch dict as BatchIterator."""
+
+    def __init__(
+        self,
+        file_pattern,
+        config: ReaderConfig,
+        batch_size: int,
+        num_epochs: Optional[int] = 1,
+        shuffle: bool = False,
+        seed: int = 0,
+        pad_final_batch: bool = True,
+        drop_remainder: bool = False,
+        prefetch: int = 2,
+    ):
+        self.lib = get_native_lib()
+        if self.lib is None:
+            raise RuntimeError("native yt8m_io library unavailable")
+        if isinstance(file_pattern, str):
+            self.files = glob_files(file_pattern)
+        else:
+            self.files = list(file_pattern)
+        if not self.files:
+            raise IOError(f"no files matched {file_pattern!r}")
+        self.config = config
+        self.batch_size = batch_size
+        self.num_epochs = num_epochs
+        self.shuffle = shuffle
+        self.seed = seed
+        self.pad_final_batch = pad_final_batch
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+
+    def _new_reader(self, files: Sequence[str]):
+        cfg = self.config
+        names, sizes = cfg.names_and_sizes
+        arr_names = (ctypes.c_char_p * len(names))(
+            *[n.encode() for n in names]
+        )
+        arr_sizes = (ctypes.c_int * len(sizes))(*sizes)
+        distill = (cfg.distill_feature or "").encode()
+        handle = self.lib.yt8m_reader_new(
+            arr_names, arr_sizes, len(names), cfg.max_frames,
+            1 if cfg.frame_features else 0, distill, cfg.distill_dim,
+        )
+        for f in files:
+            self.lib.yt8m_reader_add_file(handle, f.encode())
+        return handle
+
+    def _raw_batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        cfg = self.config
+        bsz = self.batch_size
+        dim = cfg.feature_dim
+        labels_cap = bsz * _LABELS_PER_VIDEO_CAP
+        rng = np.random.default_rng(self.seed)
+        epoch = 0
+        has_distill = bool(cfg.distill_feature)
+        while self.num_epochs is None or epoch < self.num_epochs:
+            files = list(self.files)
+            if self.shuffle:
+                rng.shuffle(files)
+            handle = self._new_reader(files)
+            try:
+                while True:
+                    # frame level: padded rows report 0 frames (matches the
+                    # Python reader); video level: always 1.
+                    num_frames = (
+                        np.zeros((bsz,), np.int32)
+                        if cfg.frame_features
+                        else np.ones((bsz,), np.int32)
+                    )
+                    label_off = np.zeros((bsz + 1,), np.int32)
+                    labels_flat = np.zeros((labels_cap,), np.int32)
+                    ids_buf = ctypes.create_string_buffer(bsz * _ID_STRIDE)
+                    distill_buf = (
+                        np.zeros((bsz, cfg.distill_dim), np.float32)
+                        if has_distill
+                        else None
+                    )
+                    distill_ptr = (
+                        distill_buf.ctypes.data_as(ctypes.c_void_p)
+                        if distill_buf is not None
+                        else None
+                    )
+                    if cfg.frame_features:
+                        feats = np.zeros(
+                            (bsz, cfg.max_frames, dim), np.uint8
+                        )
+                        n = self.lib.yt8m_reader_next_frame_batch(
+                            handle, bsz, feats, num_frames, label_off,
+                            labels_flat, labels_cap, ids_buf, _ID_STRIDE,
+                            distill_ptr,
+                        )
+                    else:
+                        feats = np.zeros((bsz, dim), np.float32)
+                        n = self.lib.yt8m_reader_next_video_batch(
+                            handle, bsz, feats, label_off, labels_flat,
+                            labels_cap, ids_buf, _ID_STRIDE, distill_ptr,
+                        )
+                    if n < 0:
+                        raise RuntimeError("native parser error")
+                    if n == 0:
+                        break
+                    yield self._finish_batch(
+                        n, feats, num_frames, label_off, labels_flat,
+                        ids_buf, distill_buf,
+                    )
+            finally:
+                self.lib.yt8m_reader_free(handle)
+            epoch += 1
+
+    def _finish_batch(
+        self, n, feats, num_frames, label_off, labels_flat, ids_buf,
+        distill_buf,
+    ) -> Dict[str, np.ndarray]:
+        cfg = self.config
+        bsz = self.batch_size
+        keep = bsz if (self.pad_final_batch and n < bsz) else n
+        dense = np.zeros((keep, cfg.num_classes), np.float32)
+        rows = np.repeat(
+            np.arange(n), np.diff(label_off[: n + 1]).clip(min=0)
+        )
+        cols = labels_flat[: label_off[n]]
+        valid = (cols >= 0) & (cols < cfg.num_classes)
+        dense[rows[valid], cols[valid]] = 1.0
+        mask = np.zeros((keep,), np.float32)
+        mask[:n] = 1.0
+        ids: List[bytes] = []
+        raw = ids_buf.raw
+        for i in range(keep):
+            if i < n:
+                chunk = raw[i * _ID_STRIDE : (i + 1) * _ID_STRIDE]
+                ids.append(chunk.split(b"\x00", 1)[0])
+            else:
+                ids.append(b"")
+        batch = {
+            "id": ids,
+            "features": feats[:keep],
+            "labels": dense,
+            "num_frames": num_frames[:keep],
+            "batch_mask": mask,
+        }
+        if distill_buf is not None:
+            batch["teacher"] = distill_buf[:keep]
+        return batch
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        gen = self._raw_batches()
+        if self.drop_remainder:
+            gen = (
+                b for b in gen
+                if int(b["batch_mask"].sum()) == self.batch_size
+            )
+        if self.prefetch <= 0:
+            yield from gen
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+        error: List[BaseException] = []
+
+        def worker():
+            try:
+                for item in gen:
+                    q.put(item)
+            except BaseException as e:  # propagate to consumer
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if error:
+                    raise error[0]
+                return
+            yield item
+
+
+def make_batch_iterator(file_pattern, config, batch_size, **kw):
+    """Native iterator when buildable, else the Python fallback."""
+    if get_native_lib() is not None:
+        try:
+            return NativeBatchIterator(
+                file_pattern, config, batch_size, **kw
+            )
+        except RuntimeError:
+            pass
+    from yt8m_tpu.data.readers import BatchIterator
+
+    kw.pop("prefetch", None)
+    return BatchIterator(file_pattern, config, batch_size, **kw)

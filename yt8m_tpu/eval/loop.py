@@ -16,7 +16,7 @@ import jax
 import numpy as np
 
 from yt8m_tpu.config import EvalConfig
-from yt8m_tpu.data.readers import BatchIterator
+from yt8m_tpu.data.pipeline import make_batch_iterator
 from yt8m_tpu.metrics import EvaluationMetrics
 from yt8m_tpu.models import get_model
 from yt8m_tpu.parallel import mesh as mesh_lib
@@ -42,7 +42,7 @@ def evaluate_checkpoint(
     mesh = mesh_lib.make_mesh()
     rc = reader_config_from(cfg)
 
-    it = BatchIterator(
+    it = make_batch_iterator(
         cfg.eval_data_pattern,
         rc,
         batch_size=cfg.batch_size,

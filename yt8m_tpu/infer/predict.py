@@ -20,7 +20,7 @@ import jax
 import numpy as np
 
 from yt8m_tpu.config import InferenceConfig
-from yt8m_tpu.data.readers import BatchIterator
+from yt8m_tpu.data.pipeline import make_batch_iterator
 from yt8m_tpu.models import get_model
 from yt8m_tpu.parallel import mesh as mesh_lib
 from yt8m_tpu.train.checkpoint import CheckpointManager
@@ -54,7 +54,7 @@ def inference(config: InferenceConfig, state=None) -> dict:
     mesh = mesh_lib.make_mesh()
     rc = reader_config_from(cfg)
 
-    it = BatchIterator(
+    it = make_batch_iterator(
         cfg.input_data_pattern,
         rc,
         batch_size=cfg.batch_size,

@@ -15,7 +15,8 @@ import jax
 import numpy as np
 
 from yt8m_tpu.config import TrainConfig
-from yt8m_tpu.data.readers import BatchIterator, ReaderConfig
+from yt8m_tpu.data.pipeline import make_batch_iterator
+from yt8m_tpu.data.readers import ReaderConfig
 from yt8m_tpu.metrics import (
     calculate_gap,
     calculate_hit_at_one,
@@ -64,7 +65,7 @@ class Trainer:
 
         if data_iterator is None:
             rc = reader_config_from(cfg)
-            data_iterator = BatchIterator(
+            data_iterator = make_batch_iterator(
                 cfg.train_data_pattern,
                 rc,
                 batch_size=cfg.batch_size,
