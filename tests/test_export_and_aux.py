@@ -1,0 +1,128 @@
+"""Serving export, checkpoint ensembling, summaries, JSON->CSV converter."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from yt8m_tpu.models import ModelHParams, get_model
+
+C, D = 18, 24
+HP = ModelHParams(vocab_size=C, feature_dim=D, compute_dtype="float32")
+
+
+def _make_variables(model_name="MoeModel"):
+    model = get_model(model_name, HP)
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(2, D)).astype(np.float32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        feats,
+        np.ones((2,), np.int32),
+        train=False,
+    )
+    return model, variables
+
+
+def test_export_and_reload_serving(tmp_path):
+    from yt8m_tpu.infer.export import export_model, load_serving
+
+    _, variables = _make_variables()
+    export_dir = str(tmp_path / "export")
+    export_model(
+        export_dir, "MoeModel", HP, variables["params"],
+        batch_size=4, top_k=5,
+    )
+    serve, meta = load_serving(export_dir)
+    assert meta["model"] == "MoeModel" and meta["top_k"] == 5
+    rng = np.random.default_rng(1)
+    feats = rng.normal(size=(4, D)).astype(np.float32)
+    values, indices = serve(feats, np.ones((4,), np.int32))
+    values, indices = np.asarray(values), np.asarray(indices)
+    assert values.shape == (4, 5) and indices.shape == (4, 5)
+    assert np.all(np.diff(values, axis=1) <= 1e-7)  # sorted desc
+    # Parity with direct apply
+    model, _ = _make_variables()
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(
+        os.path.join(export_dir, "variables")
+    )
+    out = model.apply(
+        restored, feats, np.ones((4,), np.int32), train=False,
+        rngs={"sample": jax.random.PRNGKey(0)},
+    )
+    top = np.sort(np.asarray(out["predictions"]), axis=1)[:, -5:][:, ::-1]
+    np.testing.assert_allclose(values, top, atol=1e-5)
+
+
+def test_average_checkpoint_weights(tmp_path):
+    from yt8m_tpu.train.checkpoint import CheckpointManager
+    from yt8m_tpu.train.state import init_train_state, make_optimizer
+    from yt8m_tpu.ensemble.checkpoints import average_checkpoint_weights
+
+    model, variables = _make_variables()
+    rng = np.random.default_rng(2)
+    batch = {
+        "features": rng.normal(size=(2, D)).astype(np.float32),
+        "num_frames": np.ones((2,), np.int32),
+    }
+    tx = make_optimizer(global_batch_size=2)
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), batch, tx, frame_level=False
+    )
+    ckpt = CheckpointManager(str(tmp_path / "run"))
+    s1 = state.replace(
+        params=jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+    )
+    s2 = state.replace(
+        params=jax.tree_util.tree_map(lambda x: x + 3.0, state.params)
+    )
+    ckpt.save(1, s1)
+    ckpt.save(2, s2)
+    ckpt.close()
+    avg = average_checkpoint_weights(str(tmp_path / "run"), state, [1, 2])
+    expect = jax.tree_util.tree_map(lambda x: x + 2.0, state.params)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+        avg.params,
+        expect,
+    )
+
+
+def test_summary_writer(tmp_path):
+    from yt8m_tpu.utils.summary import SummaryWriter
+
+    sw = SummaryWriter(str(tmp_path / "logs"), tensorboard=False)
+    sw.add_global_step_summary(5, {"Loss": 1.5})
+    sw.add_epoch_summary(5, {"GAP": 0.8})
+    sw.close()
+    lines = open(tmp_path / "logs" / "events.jsonl").read().splitlines()
+    assert len(lines) == 2
+    rec = json.loads(lines[0])
+    assert rec["step"] == 5 and rec["GlobalStep/Loss"] == 1.5
+
+
+def test_convert_json_to_csv(tmp_path):
+    from yt8m_tpu.utils.convert_prediction import convert
+
+    jpath = tmp_path / "preds.json"
+    with open(jpath, "w") as f:
+        f.write(
+            json.dumps(
+                {
+                    "video_id": "vidX",
+                    "class_indexes": [3, 1, 2],
+                    "predictions": [0.5, 0.9, 0.1],
+                }
+            )
+            + "\n"
+        )
+    out = str(tmp_path / "out.csv")
+    n = convert(str(jpath), out, top_k=2)
+    assert n == 1
+    lines = open(out).read().splitlines()
+    assert lines[0] == "VideoId,LabelConfidencePairs"
+    assert lines[1] == "vidX,1 0.9 3 0.5"

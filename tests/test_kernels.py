@@ -1,0 +1,55 @@
+"""Pallas kernel == jnp oracle equivalence (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yt8m_tpu.kernels.dequant_matmul import (
+    dequant_affine_matmul,
+    dequant_affine_matmul_reference,
+)
+
+
+@pytest.mark.parametrize(
+    "m,d,n", [(64, 128, 128), (100, 256, 200), (256, 1152, 512)]
+)
+def test_dequant_affine_matmul_matches_reference(m, d, n):
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, size=(m, d), dtype=np.uint8)
+    w = rng.normal(0, 0.05, size=(d, n)).astype(np.float32)
+    scale = rng.normal(1.0, 0.1, size=(d,)).astype(np.float32)
+    bias = rng.normal(0.0, 0.1, size=(d,)).astype(np.float32)
+
+    got = dequant_affine_matmul(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale),
+        jnp.asarray(bias), interpret=True,
+    )
+    want = dequant_affine_matmul_reference(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(scale), jnp.asarray(bias)
+    )
+    # The oracle mirrors the kernel's MXU dtype (bf16 for d >= 512), so the
+    # two only differ by accumulation order.
+    scale_mag = float(np.abs(np.asarray(want)).max()) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(got) / scale_mag, np.asarray(want) / scale_mag, atol=5e-3
+    )
+
+
+def test_dequant_matches_yt8m_dequantize_semantics():
+    """scale/bias = plain YT-8M dequantize -> kernel == dequantize+matmul."""
+    from yt8m_tpu.data.quantize import dequantize
+
+    rng = np.random.default_rng(1)
+    x = rng.integers(0, 256, size=(32, 128), dtype=np.uint8)
+    w = rng.normal(0, 0.1, size=(128, 128)).astype(np.float32)
+    scalar = 4.0 / 255.0
+    b = 4.0 / 512.0 - 2.0
+    got = dequant_affine_matmul(
+        jnp.asarray(x),
+        jnp.asarray(w),
+        jnp.full((128,), scalar, jnp.float32),
+        jnp.full((128,), b, jnp.float32),
+        interpret=True,
+    )
+    want = jnp.dot(jnp.asarray(dequantize(x.astype(np.float32))), w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)

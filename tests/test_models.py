@@ -118,6 +118,31 @@ def test_padded_frames_do_not_leak(name):
     )
 
 
+@pytest.mark.parametrize(
+    "name", [n for n in list_models() if is_frame_level_model(n)]
+)
+def test_uint8_input_matches_prequantized_float(name):
+    """Models accept raw uint8 features (on-device dequantize) and must
+    match applying them to the dequantized float input."""
+    from yt8m_tpu.data.quantize import dequantize
+
+    rng = np.random.default_rng(3)
+    u8 = rng.integers(0, 256, size=(B, F, D), dtype=np.uint8)
+    num_frames = jnp.asarray(np.array([F, 3, 7, 1], dtype=np.int32))
+    f32 = dequantize(u8.astype(np.float32))
+    model = get_model(name, HP)
+    out_f, variables = _init_and_apply(model, jnp.asarray(f32), num_frames)
+    out_u = model.apply(
+        variables, jnp.asarray(u8), num_frames, train=False,
+        rngs={"sample": jax.random.PRNGKey(2)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_f["predictions"]),
+        np.asarray(out_u["predictions"]),
+        atol=1e-5,
+    )
+
+
 def test_moe_gate_abstention_dims():
     """MoE head: (M+1) gates but only M experts contribute."""
     hp = HP.replace(moe_num_mixtures=3)

@@ -90,6 +90,21 @@ def evaluate_checkpoint(
     out["videos_per_sec"] = n_videos / max(time.time() - t0, 1e-9)
     out["step"] = step
     mean_ap = float(np.mean(out["aps"])) if out["aps"] else 0.0
+    if cfg.train_dir:
+        from yt8m_tpu.utils.summary import SummaryWriter
+
+        sw = SummaryWriter(cfg.train_dir + "/eval")
+        sw.add_epoch_summary(
+            step or 0,
+            {
+                "Avg_Hit@1": out["avg_hit_at_one"],
+                "Avg_PERR": out["avg_perr"],
+                "MAP": mean_ap,
+                "GAP": out["gap"],
+                "Avg_Loss": out["avg_loss"],
+            },
+        )
+        sw.close()
     # Canonical reference log line (eval.py).
     log.info(
         "epoch/eval number %s | Avg_Hit@1: %.5f | Avg_PERR: %.5f | "

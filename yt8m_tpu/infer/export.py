@@ -1,0 +1,113 @@
+"""Serving export (reference: export_model.py :: ModelExporter, which wrote
+a SavedModel taking serialized tf.Examples and returning top-k
+indices+scores; SURVEY.md §2.1).
+
+TPU-native equivalent: `jax.export` serialises the jitted
+uint8-features -> top-k forward pass to StableHLO (portable across JAX
+versions/devices), bundled with the orbax-saved params. `load_serving`
+restores the pair and returns a callable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from yt8m_tpu.models import ModelHParams, get_model, is_frame_level_model
+
+
+def _serving_fn(model, variables, top_k: int):
+    def serve(features, num_frames):
+        out = model.apply(
+            variables,
+            features,
+            num_frames,
+            train=False,
+            rngs={"sample": jax.random.PRNGKey(0)},
+        )
+        values, indices = jax.lax.top_k(out["predictions"], top_k)
+        return values, indices.astype(jnp.int32)
+
+    return serve
+
+
+def export_model(
+    export_dir: str,
+    model_name: str,
+    hparams: ModelHParams,
+    params,
+    batch_stats=None,
+    batch_size: int = 0,
+    top_k: int = 20,
+) -> str:
+    """Write {stablehlo.bin, params/, meta.json} under export_dir.
+
+    batch_size 0 exports a polymorphic batch dimension.
+    """
+    from jax import export as jax_export
+
+    os.makedirs(export_dir, exist_ok=True)
+    model = get_model(model_name, hparams)
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    serve = _serving_fn(model, variables, top_k)
+
+    frame_level = is_frame_level_model(model_name)
+    if frame_level:
+        feat_shape = (
+            batch_size or 8, hparams.max_frames, hparams.feature_dim
+        )
+        feat_dtype = jnp.uint8
+    else:
+        feat_shape = (batch_size or 8, hparams.feature_dim)
+        feat_dtype = jnp.float32
+    args = (
+        jax.ShapeDtypeStruct(feat_shape, feat_dtype),
+        jax.ShapeDtypeStruct((feat_shape[0],), jnp.int32),
+    )
+    exported = jax_export.export(jax.jit(serve))(*args)
+    with open(os.path.join(export_dir, "stablehlo.bin"), "wb") as f:
+        f.write(exported.serialize())
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(
+        os.path.join(os.path.abspath(export_dir), "variables"),
+        jax.device_get(variables),
+    )
+    ckptr.wait_until_finished()
+    with open(os.path.join(export_dir, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "model": model_name,
+                "top_k": top_k,
+                "frame_level": frame_level,
+                "batch_size": batch_size or 8,
+                "max_frames": hparams.max_frames,
+                "feature_dim": hparams.feature_dim,
+                "vocab_size": hparams.vocab_size,
+            },
+            f,
+        )
+    return export_dir
+
+
+def load_serving(export_dir: str):
+    """Load an exported model; returns (callable, meta dict)."""
+    from jax import export as jax_export
+
+    with open(os.path.join(export_dir, "meta.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(export_dir, "stablehlo.bin"), "rb") as f:
+        exported = jax_export.deserialize(f.read())
+
+    def serve(features, num_frames):
+        return exported.call(features, num_frames)
+
+    return serve, meta

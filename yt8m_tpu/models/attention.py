@@ -15,7 +15,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from yt8m_tpu.models.frame_utils import frame_mask
+from yt8m_tpu.models.frame_utils import ensure_float, frame_mask
 from yt8m_tpu.models.heads import l2_loss
 from yt8m_tpu.models.hparams import ModelHParams
 from yt8m_tpu.models.registry import register
@@ -60,6 +60,7 @@ class AttentionPoolingModel(nn.Module):
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
         hp = self.hp
+        features = ensure_float(features)
         mask = frame_mask(num_frames, features.shape[1], jnp.float32)
         pooled, reg = _AttentionPool(
             heads=hp.attention_heads, dtype=hp.dtype, name="attention"
@@ -105,6 +106,7 @@ class MultiHeadAttentionModel(nn.Module):
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
         hp = self.hp
+        features = ensure_float(features)
         b, f, d = features.shape
         h = hp.attention_heads
         dk = hp.attention_hidden_size

@@ -13,7 +13,7 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from yt8m_tpu.models.frame_utils import frame_mask
+from yt8m_tpu.models.frame_utils import ensure_float, frame_mask
 from yt8m_tpu.models.heads import MoeHead, l2_loss
 from yt8m_tpu.models.hparams import ModelHParams
 from yt8m_tpu.models.netvlad import _NetVladAggregation
@@ -89,6 +89,7 @@ class ChainFrameModel(nn.Module):
 
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
+        features = ensure_float(features)
         mask = frame_mask(num_frames, features.shape[1], features.dtype)
         denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
         pooled = jnp.sum(features * mask[:, :, None], axis=1) / denom
@@ -104,6 +105,7 @@ class ChainNetVladModel(nn.Module):
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
         hp = self.hp
+        features = ensure_float(features)
         mask = frame_mask(num_frames, features.shape[1], jnp.float32)
         vlad, vlad_reg = _NetVladAggregation(
             cluster_size=hp.netvlad_cluster_size,

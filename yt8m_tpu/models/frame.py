@@ -10,6 +10,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from yt8m_tpu.models.frame_utils import (
+    ensure_float,
     frame_mask,
     frame_pooling,
     sample_random_frames,
@@ -33,6 +34,7 @@ class FrameLevelLogisticModel(nn.Module):
 
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
+        features = ensure_float(features)
         mask = frame_mask(num_frames, features.shape[1], features.dtype)
         pooled = frame_pooling(features, "average", mask)
         from yt8m_tpu.models.heads import LogisticHead
@@ -73,6 +75,8 @@ class DbofModel(nn.Module):
             x = sample_random_sequence(
                 rng, features, num_frames, hp.iterations
             )
+        # Dequantize AFTER sampling: only S of 300 frames pay the cast.
+        x = ensure_float(x)
         b, s, d = x.shape
         x = x.reshape(b * s, d)
 

@@ -10,6 +10,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from yt8m_tpu.data.quantize import dequantize
+
+
+def ensure_float(features, dtype=jnp.float32):
+    """Dequantize uint8 features on device; pass floats through.
+
+    Models call this at the point of first arithmetic, AFTER any
+    sampling/gather, so uint8 rides HBM (4x less traffic) until the last
+    moment (SURVEY.md §6 bandwidth constraint).
+    """
+    if features.dtype == jnp.uint8:
+        return dequantize(features.astype(dtype))
+    return features.astype(dtype) if features.dtype != dtype else features
+
 
 def frame_mask(num_frames, max_frames: int, dtype=jnp.float32):
     """[B] frame counts -> [B, F] validity mask."""

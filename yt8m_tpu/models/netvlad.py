@@ -19,7 +19,11 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from yt8m_tpu.models.frame_utils import frame_mask, sample_random_frames
+from yt8m_tpu.models.frame_utils import (
+    ensure_float,
+    frame_mask,
+    sample_random_frames,
+)
 from yt8m_tpu.models.heads import ContextGate, l2_loss
 from yt8m_tpu.models.hparams import ModelHParams
 from yt8m_tpu.models.registry import register
@@ -112,6 +116,7 @@ class _NetVladBase(nn.Module):
             mask = jnp.ones((b, f), jnp.float32)
         else:
             mask = frame_mask(num_frames, f, jnp.float32)
+        features = ensure_float(features)
 
         vlad, reg = _NetVladAggregation(
             cluster_size=hp.netvlad_cluster_size,

@@ -23,7 +23,11 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from yt8m_tpu.models.frame_utils import frame_mask, frame_pooling
+from yt8m_tpu.models.frame_utils import (
+    ensure_float,
+    frame_mask,
+    frame_pooling,
+)
 from yt8m_tpu.models.hparams import ModelHParams
 from yt8m_tpu.models.registry import register
 from yt8m_tpu.models.video import make_classifier_head
@@ -139,6 +143,7 @@ def _run_rnn(
     pooling: str,
 ):
     """features [B, F, D] -> pooled [B, H * dirs]."""
+    features = ensure_float(features)
     b, f, d = features.shape
     xs = jnp.transpose(features, (1, 0, 2))  # time-major
     mask_bt = frame_mask(num_frames, f, jnp.float32)  # [B, F]

@@ -28,6 +28,7 @@ from yt8m_tpu.train import losses as losses_lib
 from yt8m_tpu.train.checkpoint import CheckpointManager, maybe_wipe_train_dir
 from yt8m_tpu.train.state import init_train_state, make_optimizer
 from yt8m_tpu.train.step import make_train_step
+from yt8m_tpu.utils.summary import SummaryWriter
 
 log = logging.getLogger("yt8m_tpu.train")
 
@@ -95,6 +96,7 @@ class Trainer:
             max_to_keep=cfg.max_checkpoints_to_keep,
             save_interval_steps=cfg.save_checkpoint_every_n_steps,
         )
+        self.summary = SummaryWriter(cfg.train_dir)
 
     # -- state ------------------------------------------------------------
 
@@ -167,6 +169,16 @@ class Trainer:
                     "Hit@1: %.4f PERR: %.4f GAP: %.4f",
                     step, loss, eps, hit1, perr, gap,
                 )
+                self.summary.add_global_step_summary(
+                    step,
+                    {
+                        "Loss": loss,
+                        "Examples_Second": eps,
+                        "Hit@1": hit1,
+                        "PERR": perr,
+                        "GAP": gap,
+                    },
+                )
                 t_log = time.time()
                 examples_since_log = 0
 
@@ -175,5 +187,6 @@ class Trainer:
         if state is not None:
             self.ckpt.force_save(step, state)
         self.ckpt.close()
+        self.summary.close()
         log.info("training complete at step %d", step)
         return step

@@ -78,10 +78,6 @@ def init_train_state(
 ) -> TrainState:
     """Initialise params/batch_stats from a (host, unsharded) sample batch."""
     feats = jnp.asarray(sample_batch["features"][:2])
-    if feats.dtype == jnp.uint8:
-        from yt8m_tpu.data.quantize import dequantize
-
-        feats = dequantize(feats.astype(jnp.float32))
     num_frames = jnp.asarray(sample_batch["num_frames"][:2])
     params_rng, sample_rng = jax.random.split(rng)
     variables = model.init(

@@ -16,15 +16,13 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
-from yt8m_tpu.data.quantize import dequantize
 from yt8m_tpu.train.losses import BaseLoss
 
 
 def _prepare_features(feats):
-    """On-device uint8 -> float dequantize (uint8 rides the host->device
-    wire; SURVEY.md §6 bandwidth constraint)."""
-    if feats.dtype == jnp.uint8:
-        return dequantize(feats.astype(jnp.float32))
+    """Pass features through raw: models dequantize at the point of first
+    arithmetic (after sampling/gather), so uint8 rides HBM untouched
+    (SURVEY.md §6 bandwidth constraint; see frame_utils.ensure_float)."""
     return feats
 
 
