@@ -21,6 +21,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: the axon-tunnel first compile is slow
+    # (minutes); cached recompiles are seconds.
+    import os
+
+    cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     from __graft_entry__ import FLAGSHIP_MODEL, _flagship_hparams
     from yt8m_tpu.data.quantize import dequantize
     from yt8m_tpu.models import get_model
