@@ -35,6 +35,71 @@ def test_dequant_affine_matmul_matches_reference(m, d, n):
     )
 
 
+@pytest.mark.parametrize("dtype", ["uint8", "float32"])
+def test_netvlad_aggregate_matches_reference(dtype):
+    from yt8m_tpu.kernels.netvlad import (
+        netvlad_aggregate,
+        netvlad_aggregate_reference,
+    )
+
+    rng = np.random.default_rng(2)
+    b, f, d, k = 3, 20, 128, 128
+    if dtype == "uint8":
+        frames = rng.integers(0, 256, size=(b, f, d), dtype=np.uint8)
+    else:
+        frames = rng.normal(size=(b, f, d)).astype(np.float32)
+    num_frames = np.array([20, 7, 1], np.int32)
+    wc = rng.normal(0, 0.1, size=(d, k)).astype(np.float32)
+    scale = rng.normal(1, 0.05, size=(k,)).astype(np.float32)
+    bias = rng.normal(0, 0.05, size=(k,)).astype(np.float32)
+    centers = rng.normal(0, 0.1, size=(k, d)).astype(np.float32)
+
+    got = netvlad_aggregate(
+        jnp.asarray(frames), jnp.asarray(num_frames), jnp.asarray(wc),
+        jnp.asarray(scale), jnp.asarray(bias), jnp.asarray(centers),
+        interpret=True,
+    )
+    want = netvlad_aggregate_reference(
+        jnp.asarray(frames), jnp.asarray(num_frames), jnp.asarray(wc),
+        jnp.asarray(scale), jnp.asarray(bias), jnp.asarray(centers),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=5e-3
+    )
+    # Output is L2-normalised per video.
+    norms = np.linalg.norm(np.asarray(got).reshape(b, -1), axis=1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-4)
+
+
+def test_netvlad_kernel_padded_frames_invariant():
+    from yt8m_tpu.kernels.netvlad import netvlad_aggregate
+
+    rng = np.random.default_rng(3)
+    b, f, d, k = 2, 16, 128, 128
+    frames = rng.integers(0, 256, size=(b, f, d), dtype=np.uint8)
+    num_frames = np.array([5, 9], np.int32)
+    wc = rng.normal(0, 0.1, size=(d, k)).astype(np.float32)
+    ones = np.ones((k,), np.float32)
+    zeros = np.zeros((k,), np.float32)
+    centers = rng.normal(0, 0.1, size=(k, d)).astype(np.float32)
+    out1 = netvlad_aggregate(
+        jnp.asarray(frames), jnp.asarray(num_frames), jnp.asarray(wc),
+        jnp.asarray(ones), jnp.asarray(zeros), jnp.asarray(centers),
+        interpret=True,
+    )
+    corrupted = frames.copy()
+    for i, nf in enumerate(num_frames):
+        corrupted[i, nf:] = 255
+    out2 = netvlad_aggregate(
+        jnp.asarray(corrupted), jnp.asarray(num_frames), jnp.asarray(wc),
+        jnp.asarray(ones), jnp.asarray(zeros), jnp.asarray(centers),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out2), atol=1e-5
+    )
+
+
 def test_dequant_matches_yt8m_dequantize_semantics():
     """scale/bias = plain YT-8M dequantize -> kernel == dequantize+matmul."""
     from yt8m_tpu.data.quantize import dequantize

@@ -105,14 +105,14 @@ class ChainNetVladModel(nn.Module):
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
         hp = self.hp
-        features = ensure_float(features)
         mask = frame_mask(num_frames, features.shape[1], jnp.float32)
         vlad, vlad_reg = _NetVladAggregation(
             cluster_size=hp.netvlad_cluster_size,
             add_batch_norm=hp.netvlad_add_batch_norm,
             dtype=hp.dtype,
+            use_pallas=hp.netvlad_use_pallas,
             name="vlad",
-        )(features, mask, train=train)
+        )(features, num_frames, mask, train=train)
         hidden_weights = self.param(
             "hidden1_weights",
             nn.initializers.normal(1.0 / jnp.sqrt(hp.netvlad_cluster_size)),

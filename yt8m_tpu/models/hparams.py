@@ -46,6 +46,7 @@ class ModelHParams:
     netvlad_add_batch_norm: bool = True
     netvlad_gating: bool = True
     netvlad_sample_frames: int = 0  # 0 = use all (masked) frames
+    netvlad_use_pallas: bool = True  # fused kernel on the inference path
 
     # Attention pooling family (fork: attention_*.py)
     attention_heads: int = 8

@@ -6,19 +6,24 @@ algorithm per the WILLOW + Monkeytyping papers:
   assign = softmax(frames @ W_c [+BN])          [B, F, K]
   assign = assign * frame_mask                  (padding contributes zero)
   vlad   = assign^T @ frames - (sum_f assign) * centers   [B, K, D]
-  intra-normalise over D, flatten, L2-normalise  [B, K*D]
+  intra-normalise over D, flatten, L2 normalise  [B, K*D]
   FC -> hidden (+BN), optional context gating, then the MoE head.
 
-TPU notes: both heavy ops are batched matmuls ([B,F,D]x[D,K] and
-[B,K,F]x[B,F,D]) — MXU-dense with static shapes; the Pallas fusion of
-assign+residual lives in yt8m_tpu.kernels.netvlad (used when enabled).
+TPU notes: training runs the jnp graph (BatchNorm needs cross-batch
+stats; XLA fuses the rest). Inference folds the BN into a per-cluster
+affine and runs the FUSED Pallas kernel (kernels/netvlad.py): dequantize,
+assignment matmul, masked softmax, residual matmul, and both
+normalisations in one VMEM-resident pass per video.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from yt8m_tpu.data.quantize import dequantize
+from yt8m_tpu.kernels.netvlad import netvlad_aggregate
 from yt8m_tpu.models.frame_utils import (
     ensure_float,
     frame_mask,
@@ -29,15 +34,25 @@ from yt8m_tpu.models.hparams import ModelHParams
 from yt8m_tpu.models.registry import register
 from yt8m_tpu.models.video import make_classifier_head
 
+_BN_MOMENTUM = 0.99
+_BN_EPS = 1e-3
+
 
 class _NetVladAggregation(nn.Module):
+    """frames (+num_frames) -> L2-normalised VLAD [B, K*D].
+
+    BatchNorm on the assignment logits is implemented inline (not
+    nn.BatchNorm) so inference can fold it into the Pallas kernel's
+    per-cluster affine.
+    """
+
     cluster_size: int
     add_batch_norm: bool = True
     dtype: object = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, frames, mask, train: bool = False):
-        """frames [B, F, D], mask [B, F] -> (vlad [B, K*D], reg_loss)."""
+    def __call__(self, frames, num_frames, mask, train: bool = False):
         b, f, d = frames.shape
         k = self.cluster_size
         cluster_weights = self.param(
@@ -46,49 +61,93 @@ class _NetVladAggregation(nn.Module):
             (d, k),
             jnp.float32,
         )
-        act = jnp.dot(
-            frames.reshape(b * f, d).astype(self.dtype),
-            cluster_weights.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        if self.add_batch_norm:
-            act = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
-                dtype=jnp.float32,
-                name="cluster_bn",
-            )(act)
-        else:
-            bias = self.param(
-                "cluster_biases",
-                nn.initializers.normal(1.0 / jnp.sqrt(d)),
-                (k,),
-                jnp.float32,
-            )
-            act = act + bias
-        assign = nn.softmax(act, axis=-1).reshape(b, f, k)
-        assign = assign * mask[:, :, None]
-
         cluster_weights2 = self.param(
             "cluster_weights2",
             nn.initializers.normal(1.0 / jnp.sqrt(d)),
             (1, d, k),
             jnp.float32,
         )
-        a_sum = jnp.sum(assign, axis=1, keepdims=True)  # [B, 1, K]
-        a = a_sum * cluster_weights2  # [B, D, K]
+        if self.add_batch_norm:
+            gamma = self.param(
+                "cluster_bn_scale", nn.initializers.ones, (k,), jnp.float32
+            )
+            beta = self.param(
+                "cluster_bn_bias", nn.initializers.zeros, (k,), jnp.float32
+            )
+            ra_mean = self.variable(
+                "batch_stats", "cluster_bn_mean",
+                lambda: jnp.zeros((k,), jnp.float32),
+            )
+            ra_var = self.variable(
+                "batch_stats", "cluster_bn_var",
+                lambda: jnp.ones((k,), jnp.float32),
+            )
+        else:
+            cluster_biases = self.param(
+                "cluster_biases",
+                nn.initializers.normal(1.0 / jnp.sqrt(d)),
+                (k,),
+                jnp.float32,
+            )
 
-        # assign^T @ frames: [B, K, F] x [B, F, D] -> [B, K, D]
+        reg = l2_loss(cluster_weights)
+        centers_kd = jnp.transpose(cluster_weights2[0])  # [K, D]
+
+        if not train and self.use_pallas and (
+            jax.default_backend() == "tpu"
+        ):
+            # Inference: fold (BN | bias) into a per-cluster affine and run
+            # the fused kernel on the RAW (possibly uint8) frames.
+            if self.add_batch_norm:
+                inv = gamma * jax.lax.rsqrt(ra_var.value + _BN_EPS)
+                act_scale = inv
+                act_bias = beta - ra_mean.value * inv
+            else:
+                act_scale = jnp.ones((k,), jnp.float32)
+                act_bias = cluster_biases
+            vlad = netvlad_aggregate(
+                frames, num_frames, cluster_weights, act_scale, act_bias,
+                centers_kd,
+            )
+            return vlad.reshape(b, k * d), reg
+
+        x = ensure_float(frames)
+        act = jnp.dot(
+            x.reshape(b * f, d).astype(self.dtype),
+            cluster_weights.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if self.add_batch_norm:
+            if train:
+                mean = jnp.mean(act, axis=0)
+                var = jnp.var(act, axis=0)
+                if not self.is_initializing():
+                    ra_mean.value = (
+                        _BN_MOMENTUM * ra_mean.value
+                        + (1 - _BN_MOMENTUM) * mean
+                    )
+                    ra_var.value = (
+                        _BN_MOMENTUM * ra_var.value
+                        + (1 - _BN_MOMENTUM) * var
+                    )
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            act = (act - mean) * jax.lax.rsqrt(var + _BN_EPS)
+            act = act * gamma + beta
+        else:
+            act = act + cluster_biases
+        assign = nn.softmax(act, axis=-1).reshape(b, f, k)
+        assign = assign * mask[:, :, None]
+
+        a_sum = jnp.sum(assign, axis=1)  # [B, K]
         vlad = jnp.einsum(
             "bfk,bfd->bkd",
             assign.astype(self.dtype),
-            frames.astype(self.dtype),
+            x.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )
-        vlad = vlad - jnp.transpose(a, (0, 2, 1))  # [B, K, D]
+        vlad = vlad - a_sum[:, :, None] * centers_kd[None, :, :]
 
-        # intra-normalisation over the feature dim, then global L2.
         vlad = vlad / jnp.maximum(
             jnp.linalg.norm(vlad, axis=2, keepdims=True), 1e-6
         )
@@ -96,7 +155,7 @@ class _NetVladAggregation(nn.Module):
         vlad = vlad / jnp.maximum(
             jnp.linalg.norm(vlad, axis=1, keepdims=True), 1e-6
         )
-        return vlad, l2_loss(cluster_weights)
+        return vlad, reg
 
 
 class _NetVladBase(nn.Module):
@@ -113,17 +172,18 @@ class _NetVladBase(nn.Module):
                 rng, features, num_frames, hp.netvlad_sample_frames
             )
             f = hp.netvlad_sample_frames
+            num_frames = jnp.full((b,), f, jnp.int32)
             mask = jnp.ones((b, f), jnp.float32)
         else:
             mask = frame_mask(num_frames, f, jnp.float32)
-        features = ensure_float(features)
 
         vlad, reg = _NetVladAggregation(
             cluster_size=hp.netvlad_cluster_size,
             add_batch_norm=hp.netvlad_add_batch_norm,
             dtype=hp.dtype,
+            use_pallas=hp.netvlad_use_pallas,
             name="vlad",
-        )(features, mask, train=train)
+        )(features, num_frames, mask, train=train)
 
         hidden_weights = self.param(
             "hidden1_weights",
@@ -141,8 +201,8 @@ class _NetVladBase(nn.Module):
         if hp.netvlad_add_batch_norm:
             hidden = nn.BatchNorm(
                 use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
+                momentum=_BN_MOMENTUM,
+                epsilon=_BN_EPS,
                 dtype=jnp.float32,
                 name="hidden1_bn",
             )(hidden)
