@@ -29,6 +29,13 @@ HP = ModelHParams(
     gru_cells=16,
     chain_stages=2,
     chain_hidden_size=16,
+    nextvlad_groups=4,
+    nextvlad_expansion=2,
+    nextvlad_cluster_size=8,
+    nextvlad_hidden_size=16,
+    cnn_filters=16,
+    cnn_layers=2,
+    cnn_kernel=3,
 )
 
 

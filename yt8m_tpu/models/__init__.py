@@ -13,3 +13,5 @@ from yt8m_tpu.models import rnn as _rnn  # noqa: F401
 from yt8m_tpu.models import netvlad as _netvlad  # noqa: F401
 from yt8m_tpu.models import attention as _attention  # noqa: F401
 from yt8m_tpu.models import chain as _chain  # noqa: F401
+from yt8m_tpu.models import nextvlad as _nextvlad  # noqa: F401
+from yt8m_tpu.models import cnn as _cnn  # noqa: F401

@@ -53,6 +53,17 @@ class ModelHParams:
     attention_hidden_size: int = 512
     attention_cluster_size: int = 32
 
+    # NeXtVLAD (PAPERS.md arXiv:1811.05014)
+    nextvlad_groups: int = 8
+    nextvlad_expansion: int = 2
+    nextvlad_cluster_size: int = 128
+    nextvlad_hidden_size: int = 1024
+
+    # Temporal CNN family (fork CNN variants)
+    cnn_filters: int = 1024
+    cnn_layers: int = 2
+    cnn_kernel: int = 3
+
     # Chaining family (fork: chain_*.py)
     chain_stages: int = 3
     chain_hidden_size: int = 1024
