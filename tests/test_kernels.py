@@ -100,6 +100,58 @@ def test_netvlad_kernel_padded_frames_invariant():
     )
 
 
+@pytest.mark.parametrize("dtype", ["uint8", "float32"])
+def test_attention_pool_matches_reference(dtype):
+    from yt8m_tpu.kernels.attention_pool import (
+        attention_pool,
+        attention_pool_reference,
+    )
+
+    rng = np.random.default_rng(4)
+    b, f, d, h = 3, 19, 128, 8
+    if dtype == "uint8":
+        frames = rng.integers(0, 256, size=(b, f, d), dtype=np.uint8)
+    else:
+        frames = rng.normal(size=(b, f, d)).astype(np.float32)
+    num_frames = np.array([19, 6, 1], np.int32)
+    query = rng.normal(0, 0.1, size=(d, h)).astype(np.float32)
+    got = attention_pool(
+        jnp.asarray(frames), jnp.asarray(num_frames), jnp.asarray(query),
+        interpret=True,
+    )
+    want = attention_pool_reference(
+        jnp.asarray(frames), jnp.asarray(num_frames), jnp.asarray(query)
+    )
+    scale_mag = float(np.abs(np.asarray(want)).max()) or 1.0
+    np.testing.assert_allclose(
+        np.asarray(got) / scale_mag, np.asarray(want) / scale_mag, atol=2e-2
+    )
+
+
+def test_attention_pool_padded_frames_invariant():
+    from yt8m_tpu.kernels.attention_pool import attention_pool
+
+    rng = np.random.default_rng(5)
+    b, f, d, h = 2, 16, 128, 4
+    frames = rng.integers(0, 256, size=(b, f, d), dtype=np.uint8)
+    num_frames = np.array([4, 11], np.int32)
+    query = rng.normal(0, 0.1, size=(d, h)).astype(np.float32)
+    out1 = attention_pool(
+        jnp.asarray(frames), jnp.asarray(num_frames), jnp.asarray(query),
+        interpret=True,
+    )
+    corrupted = frames.copy()
+    for i, nf in enumerate(num_frames):
+        corrupted[i, nf:] = 255
+    out2 = attention_pool(
+        jnp.asarray(corrupted), jnp.asarray(num_frames), jnp.asarray(query),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out1), np.asarray(out2), atol=1e-5
+    )
+
+
 def test_dequant_matches_yt8m_dequantize_semantics():
     """scale/bias = plain YT-8M dequantize -> kernel == dequantize+matmul."""
     from yt8m_tpu.data.quantize import dequantize

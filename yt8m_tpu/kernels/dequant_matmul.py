@@ -32,7 +32,8 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _kernel(x_ref, scale_ref, bias_ref, w_ref, out_ref, *, compute_dtype):
-    x = x_ref[...].astype(jnp.float32)
+    # Mosaic has no direct u8->f32 cast; hop through int32.
+    x = x_ref[...].astype(jnp.int32).astype(jnp.float32)
     x = x * scale_ref[...] + bias_ref[...]  # [TM, D] * [1, D] + [1, D]
     out_ref[...] = jnp.dot(
         x.astype(compute_dtype),

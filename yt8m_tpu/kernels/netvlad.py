@@ -48,9 +48,12 @@ def _kernel(
 ):
     b = pl.program_id(0)
     f = frames_ref.shape[1]
-    x = frames_ref[0].astype(jnp.float32)
     if is_u8:
+        # Mosaic has no direct u8->f32 cast; hop through int32.
+        x = frames_ref[0].astype(jnp.int32).astype(jnp.float32)
         x = x * deq_scale + deq_bias
+    else:
+        x = frames_ref[0].astype(jnp.float32)
 
     act = jnp.dot(
         x.astype(jnp.bfloat16),

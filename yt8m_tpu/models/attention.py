@@ -5,16 +5,19 @@ one of the Monkeytyping paper's two novel structures (SURVEY.md §2.2):
 learned per-head frame scores, masked softmax over time, per-head weighted
 sums concatenated into the video representation.
 
-TPU notes: scores are one [B*F, D] x [D, heads] matmul; pooling is a
-batched [B, heads, F] x [B, F, D] matmul — both MXU-dense; padding is
-masked with -inf before the time softmax (SURVEY.md §7 hard part 4).
+TPU notes: training runs the jnp graph (scores are one [B*F, D] x [D, H]
+matmul; padding masked with -inf before the time softmax). Inference runs
+the fused Pallas kernel (kernels/attention_pool.py): dequantize + scores +
+masked softmax + weighted sum in one VMEM-resident pass per video.
 """
 
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
+from yt8m_tpu.kernels.attention_pool import attention_pool
 from yt8m_tpu.models.frame_utils import ensure_float, frame_mask
 from yt8m_tpu.models.heads import l2_loss
 from yt8m_tpu.models.hparams import ModelHParams
@@ -25,10 +28,11 @@ from yt8m_tpu.models.video import make_classifier_head
 class _AttentionPool(nn.Module):
     heads: int
     dtype: object = jnp.float32
+    use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, frames, mask):
-        """frames [B, F, D], mask [B, F] -> pooled [B, heads * D]."""
+    def __call__(self, frames, num_frames, mask, train: bool = False):
+        """frames [B, F, D] (u8 or f32), mask [B, F] -> [B, heads * D]."""
         b, f, d = frames.shape
         h = self.heads
         query = self.param(
@@ -37,8 +41,15 @@ class _AttentionPool(nn.Module):
             (d, h),
             jnp.float32,
         )
+        if not train and self.use_pallas and (
+            jax.default_backend() == "tpu"
+        ):
+            pooled = attention_pool(frames, num_frames, query)
+            return pooled.reshape(b, h * d), l2_loss(query)
+
+        x = ensure_float(frames)
         scores = jnp.dot(
-            frames.reshape(b * f, d).astype(self.dtype),
+            x.reshape(b * f, d).astype(self.dtype),
             query.astype(self.dtype),
             preferred_element_type=jnp.float32,
         ).reshape(b, f, h)
@@ -47,7 +58,7 @@ class _AttentionPool(nn.Module):
         pooled = jnp.einsum(
             "bfh,bfd->bhd",
             attn.astype(self.dtype),
-            frames.astype(self.dtype),
+            x.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )
         return pooled.reshape(b, h * d), l2_loss(query)
@@ -60,11 +71,13 @@ class AttentionPoolingModel(nn.Module):
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
         hp = self.hp
-        features = ensure_float(features)
         mask = frame_mask(num_frames, features.shape[1], jnp.float32)
         pooled, reg = _AttentionPool(
-            heads=hp.attention_heads, dtype=hp.dtype, name="attention"
-        )(features, mask)
+            heads=hp.attention_heads,
+            dtype=hp.dtype,
+            use_pallas=hp.attention_use_pallas,
+            name="attention",
+        )(features, num_frames, mask, train=train)
 
         proj = self.param(
             "proj_weights",
@@ -95,7 +108,7 @@ class AttentionPoolingModel(nn.Module):
 
 @register("MultiHeadAttentionModel", frame_level=True)
 class MultiHeadAttentionModel(nn.Module):
-    """Scaled dot-product variant: projected keys, learned query vectors.
+    """Scaled dot-product variant: projected keys/values, learned queries.
 
     k = frames @ W_k;  score_h = <k, q_h> / sqrt(dk);  masked softmax over
     time; per-head pooled values concatenated -> classifier.

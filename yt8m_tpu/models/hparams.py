@@ -52,6 +52,7 @@ class ModelHParams:
     attention_heads: int = 8
     attention_hidden_size: int = 512
     attention_cluster_size: int = 32
+    attention_use_pallas: bool = True  # fused kernel on inference path
 
     # NeXtVLAD (PAPERS.md arXiv:1811.05014)
     nextvlad_groups: int = 8
