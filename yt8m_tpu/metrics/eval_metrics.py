@@ -85,9 +85,7 @@ def top_k_by_class(
         c = classes_k[j]
         out_predictions[c].append(float(preds_k[j]))
         out_labels[c].append(float(labels_k[j]))
-    out_true_positives = [
-        int(np.sum(labels[:, i] > 0)) for i in range(num_classes)
-    ]
+    out_true_positives = (labels > 0).sum(axis=0).astype(np.int64).tolist()
     return out_predictions, out_labels, out_true_positives
 
 

@@ -41,8 +41,11 @@ class _AttentionPool(nn.Module):
             (d, h),
             jnp.float32,
         )
-        if not train and self.use_pallas and (
-            jax.default_backend() == "tpu"
+        if (
+            not train
+            and self.use_pallas
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
         ):
             pooled = attention_pool(frames, num_frames, query)
             return pooled.reshape(b, h * d), l2_loss(query)

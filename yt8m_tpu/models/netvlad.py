@@ -93,8 +93,11 @@ class _NetVladAggregation(nn.Module):
         reg = l2_loss(cluster_weights)
         centers_kd = jnp.transpose(cluster_weights2[0])  # [K, D]
 
-        if not train and self.use_pallas and (
-            jax.default_backend() == "tpu"
+        if (
+            not train
+            and self.use_pallas
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
         ):
             # Inference: fold (BN | bias) into a per-cluster affine and run
             # the fused kernel on the RAW (possibly uint8) frames.

@@ -43,6 +43,8 @@ def add_dataclass_flags(parser: argparse.ArgumentParser, cls) -> None:
         if dataclasses.is_dataclass(tp):
             continue
         name = f"--{field.name}"
+        if name in parser._option_string_actions:
+            continue  # config dataclass wins over duplicate hparam names
         default = (
             field.default
             if field.default is not dataclasses.MISSING
