@@ -152,6 +152,43 @@ def test_attention_pool_padded_frames_invariant():
     )
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_recurrence_matches_scan(reverse):
+    from yt8m_tpu.kernels.lstm import (
+        lstm_recurrence,
+        lstm_recurrence_reference,
+    )
+
+    rng = np.random.default_rng(6)
+    f, b, h = 12, 8, 128
+    g = 4 * h
+    xp = rng.normal(0, 0.5, size=(f, b, g)).astype(np.float32)
+    nf = np.array([12, 5, 1, 12, 7, 3, 9, 2], np.int32)
+    wh = rng.normal(0, 0.1, size=(h, g)).astype(np.float32)
+    bias = rng.normal(0, 0.05, size=(g,)).astype(np.float32)
+
+    outs, (fc, fh) = lstm_recurrence(
+        jnp.asarray(xp), jnp.asarray(nf), jnp.asarray(wh),
+        jnp.asarray(bias), reverse=reverse, interpret=True,
+    )
+    outs_r, (fc_r, fh_r) = lstm_recurrence_reference(
+        jnp.asarray(xp), jnp.asarray(nf), jnp.asarray(wh),
+        jnp.asarray(bias), reverse=reverse,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs), np.asarray(outs_r), atol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(fh), np.asarray(fh_r), atol=2e-2)
+    np.testing.assert_allclose(np.asarray(fc), np.asarray(fc_r), atol=2e-2)
+    # Final state must equal the output at the last processed LIVE step:
+    # forward = frame nf-1; reverse = flipped position f-1 (orig frame 0).
+    for row, n in enumerate(nf):
+        t = (f - 1) if reverse else (int(n) - 1)
+        np.testing.assert_allclose(
+            np.asarray(fh)[row], np.asarray(outs)[t, row], atol=2e-2
+        )
+
+
 def test_dequant_matches_yt8m_dequantize_semantics():
     """scale/bias = plain YT-8M dequantize -> kernel == dequantize+matmul."""
     from yt8m_tpu.data.quantize import dequantize

@@ -37,6 +37,7 @@ class ModelHParams:
     lstm_layers: int = 2
     lstm_pooling: str = "last"  # last | max | mean
     rnn_bidirectional: bool = False
+    lstm_use_pallas: bool = True  # fused recurrence on inference path
     gru_cells: int = 1024
     gru_layers: int = 2
 

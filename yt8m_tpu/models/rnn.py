@@ -37,9 +37,10 @@ class _LstmLayer(nn.Module):
     hidden: int
     dtype: Any = jnp.float32
     reverse: bool = False
+    use_pallas: bool = True
 
     @nn.compact
-    def __call__(self, xs, mask):
+    def __call__(self, xs, mask, train: bool = False):
         """xs [F, B, D] time-major, mask [F, B, 1] -> (outputs [F,B,H],
         final (c, h))."""
         f, b, d = xs.shape
@@ -51,6 +52,34 @@ class _LstmLayer(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (4 * h,), jnp.float32)
+
+        if (
+            not train
+            and self.use_pallas
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        ):
+            # Fused path: batched input projection + Pallas recurrence
+            # (kernels/lstm.py) with W_h resident in VMEM.
+            from yt8m_tpu.kernels.lstm import lstm_recurrence
+
+            num_frames = jnp.sum(mask[:, :, 0], axis=0).astype(jnp.int32)
+            wx, whh = kernel[:d], kernel[d:]
+            xp = jnp.einsum(
+                "fbd,dg->fbg",
+                xs.astype(jnp.bfloat16),
+                wx.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            if self.reverse:
+                xp = jnp.flip(xp, axis=0)
+            outputs, (final_c, final_h) = lstm_recurrence(
+                xp, num_frames, whh, bias, reverse=self.reverse
+            )
+            if self.reverse:
+                outputs = jnp.flip(outputs, axis=0)
+            return outputs, (final_c, final_h)
+
         kernel_c = kernel.astype(self.dtype)
 
         def step(carry, inp):
@@ -82,9 +111,10 @@ class _GruLayer(nn.Module):
     hidden: int
     dtype: Any = jnp.float32
     reverse: bool = False
+    use_pallas: bool = True  # (GRU fusion pending; scan path used)
 
     @nn.compact
-    def __call__(self, xs, mask):
+    def __call__(self, xs, mask, train: bool = False):
         f, b, d = xs.shape
         h = self.hidden
         gate_kernel = self.param(
@@ -141,6 +171,8 @@ def _run_rnn(
     dtype,
     bidirectional: bool,
     pooling: str,
+    train: bool = False,
+    use_pallas: bool = True,
 ):
     """features [B, F, D] -> pooled [B, H * dirs]."""
     features = ensure_float(features)
@@ -157,8 +189,9 @@ def _run_rnn(
                 hidden=hidden,
                 dtype=dtype,
                 reverse=reverse,
+                use_pallas=use_pallas,
                 name=f"{tag}_layer{layer}",
-            )(h_in, mask)
+            )(h_in, mask, train=train)
             h_in = outputs
         return h_in, final_h
 
@@ -199,6 +232,8 @@ class _RnnModelBase(nn.Module):
             dtype=hp.dtype,
             bidirectional=self.bidirectional,
             pooling=hp.lstm_pooling,
+            train=train,
+            use_pallas=hp.lstm_use_pallas,
         )
         return make_classifier_head(hp)(pooled)
 
