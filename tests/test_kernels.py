@@ -189,6 +189,39 @@ def test_lstm_recurrence_matches_scan(reverse):
         )
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_recurrence_matches_scan(reverse):
+    from yt8m_tpu.kernels.gru import (
+        gru_recurrence,
+        gru_recurrence_reference,
+    )
+
+    rng = np.random.default_rng(7)
+    f, b, h = 10, 8, 128
+    xg = rng.normal(0, 0.5, size=(f, b, 2 * h)).astype(np.float32)
+    xc = rng.normal(0, 0.5, size=(f, b, h)).astype(np.float32)
+    nf = np.array([10, 4, 1, 10, 6, 2, 8, 3], np.int32)
+    whg = rng.normal(0, 0.1, size=(h, 2 * h)).astype(np.float32)
+    whc = rng.normal(0, 0.1, size=(h, h)).astype(np.float32)
+    bg = np.ones((2 * h,), np.float32)
+    bc = np.zeros((h,), np.float32)
+
+    outs, fh = gru_recurrence(
+        jnp.asarray(xg), jnp.asarray(xc), jnp.asarray(nf),
+        jnp.asarray(whg), jnp.asarray(whc), jnp.asarray(bg),
+        jnp.asarray(bc), reverse=reverse, interpret=True,
+    )
+    outs_r, fh_r = gru_recurrence_reference(
+        jnp.asarray(xg), jnp.asarray(xc), jnp.asarray(nf),
+        jnp.asarray(whg), jnp.asarray(whc), jnp.asarray(bg),
+        jnp.asarray(bc), reverse=reverse,
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs), np.asarray(outs_r), atol=2e-2
+    )
+    np.testing.assert_allclose(np.asarray(fh), np.asarray(fh_r), atol=2e-2)
+
+
 def test_dequant_matches_yt8m_dequantize_semantics():
     """scale/bias = plain YT-8M dequantize -> kernel == dequantize+matmul."""
     from yt8m_tpu.data.quantize import dequantize

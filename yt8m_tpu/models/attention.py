@@ -41,9 +41,12 @@ class _AttentionPool(nn.Module):
             (d, h),
             jnp.float32,
         )
+        from yt8m_tpu.kernels import kernels_enabled
+
         if (
             not train
             and self.use_pallas
+            and kernels_enabled()
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
         ):

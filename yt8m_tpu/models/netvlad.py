@@ -93,9 +93,12 @@ class _NetVladAggregation(nn.Module):
         reg = l2_loss(cluster_weights)
         centers_kd = jnp.transpose(cluster_weights2[0])  # [K, D]
 
+        from yt8m_tpu.kernels import kernels_enabled
+
         if (
             not train
             and self.use_pallas
+            and kernels_enabled()
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
         ):

@@ -53,9 +53,12 @@ class _LstmLayer(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (4 * h,), jnp.float32)
 
+        from yt8m_tpu.kernels import kernels_enabled
+
         if (
             not train
             and self.use_pallas
+            and kernels_enabled()
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
         ):
@@ -111,7 +114,7 @@ class _GruLayer(nn.Module):
     hidden: int
     dtype: Any = jnp.float32
     reverse: bool = False
-    use_pallas: bool = True  # (GRU fusion pending; scan path used)
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, xs, mask, train: bool = False):
@@ -135,6 +138,44 @@ class _GruLayer(nn.Module):
         cand_bias = self.param(
             "candidate_bias", nn.initializers.zeros, (h,), jnp.float32
         )
+
+        from yt8m_tpu.kernels import kernels_enabled
+
+        if (
+            not train
+            and self.use_pallas
+            and kernels_enabled()
+            and not self.is_initializing()
+            and jax.default_backend() == "tpu"
+        ):
+            # Fused path (kernels/gru.py): batched input projections +
+            # Pallas recurrence with Whg/Whc resident in VMEM.
+            from yt8m_tpu.kernels.gru import gru_recurrence
+
+            num_frames = jnp.sum(mask[:, :, 0], axis=0).astype(jnp.int32)
+            xg = jnp.einsum(
+                "fbd,dg->fbg",
+                xs.astype(jnp.bfloat16),
+                gate_kernel[:d].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            xc = jnp.einsum(
+                "fbd,dg->fbg",
+                xs.astype(jnp.bfloat16),
+                cand_kernel[:d].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            if self.reverse:
+                xg = jnp.flip(xg, axis=0)
+                xc = jnp.flip(xc, axis=0)
+            outputs, final_h = gru_recurrence(
+                xg, xc, num_frames, gate_kernel[d:], cand_kernel[d:],
+                gate_bias, cand_bias, reverse=self.reverse,
+            )
+            if self.reverse:
+                outputs = jnp.flip(outputs, axis=0)
+            return outputs, (final_h, final_h)
+
         gk = gate_kernel.astype(self.dtype)
         ck = cand_kernel.astype(self.dtype)
 
