@@ -77,6 +77,7 @@ class EvalConfig:
     batch_size: int = 1024
     model: str = "LogisticModel"
     label_loss: str = "CrossEntropyLoss"
+    optimizer: str = "AdamOptimizer"  # must match training (restore tree)
     train_dir: str = "/tmp/yt8m_model/"
     run_once: bool = True
     top_k: int = 20
@@ -100,6 +101,7 @@ class InferenceConfig:
     max_frames: int = 300
     batch_size: int = 8192
     model: str = "LogisticModel"
+    optimizer: str = "AdamOptimizer"  # must match training (restore tree)
     train_dir: str = "/tmp/yt8m_model/"
     output_file: str = ""
     top_k: int = 20

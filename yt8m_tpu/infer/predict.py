@@ -83,7 +83,10 @@ def inference(config: InferenceConfig, state=None) -> dict:
             f.write("VideoId,LabelConfidencePairs\n")
         for batch in it:
             if not restored:
-                tx = make_optimizer(global_batch_size=cfg.batch_size)
+                tx = make_optimizer(
+                    optimizer=cfg.optimizer,
+                    global_batch_size=cfg.batch_size,
+                )
                 state = init_train_state(
                     model, jax.random.PRNGKey(0), batch, tx,
                     cfg.frame_features,
