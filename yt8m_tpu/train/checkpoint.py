@@ -35,6 +35,10 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state) -> bool:
+        # Gate on should_save BEFORE device_get: pulling the full state to
+        # host every step would serialise training on the transfer.
+        if not self._mgr.should_save(step):
+            return False
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(jax.device_get(state))
         )
