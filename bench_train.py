@@ -29,7 +29,6 @@ CASES = [
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     jax.config.update(
         "jax_compilation_cache_dir",

@@ -2,10 +2,9 @@
 
 import os
 
-import numpy as np
 import pytest
 
-from yt8m_tpu.config import EvalConfig, InferenceConfig, TrainConfig
+from yt8m_tpu.config import TrainConfig
 from yt8m_tpu.models.hparams import ModelHParams
 from yt8m_tpu.utils.flags import parse_into
 

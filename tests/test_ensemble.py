@@ -4,7 +4,6 @@ checkpoint-style averaging, distillation data prep, bagging."""
 import os
 
 import numpy as np
-import pytest
 
 from yt8m_tpu.data.readers import BatchIterator, ReaderConfig
 from yt8m_tpu.data.synthetic import write_video_level_shard

@@ -5,7 +5,6 @@ import os
 
 import jax
 import numpy as np
-import pytest
 
 from yt8m_tpu.models import ModelHParams, get_model
 

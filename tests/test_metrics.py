@@ -16,7 +16,6 @@ from yt8m_tpu.metrics import (
     calculate_hit_at_one,
     calculate_precision_at_equal_recall_rate,
 )
-from yt8m_tpu.metrics.eval_metrics import top_k_by_class
 
 
 # ---------------------------------------------------------------------------

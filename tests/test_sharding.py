@@ -4,7 +4,6 @@ the TP-sharded MoE head must match the replicated one."""
 
 import jax
 import numpy as np
-import pytest
 
 from yt8m_tpu.models import ModelHParams, get_model
 from yt8m_tpu.parallel import mesh as mesh_lib

@@ -5,7 +5,7 @@ import numpy as np
 import pytest
 
 from yt8m_tpu.data import proto
-from yt8m_tpu.data.crc32c import crc32c, masked_crc32c
+from yt8m_tpu.data.crc32c import crc32c
 from yt8m_tpu.data.tfrecord import tfrecord_iterator, write_tfrecords
 
 

@@ -3,7 +3,6 @@
 
 import os
 
-import numpy as np
 import pytest
 
 from yt8m_tpu.config import EvalConfig, InferenceConfig, TrainConfig

@@ -3,7 +3,6 @@ distillation student run consuming teacher predictions."""
 
 import os
 
-import numpy as np
 import pytest
 
 from yt8m_tpu.config import EvalConfig, TrainConfig

@@ -23,7 +23,7 @@ Field layout matches the public YT-8M dataset:
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

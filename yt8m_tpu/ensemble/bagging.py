@@ -3,7 +3,7 @@ SURVEY.md §2.2). Ensemble members train on different shard subsets."""
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 from yt8m_tpu.data.tfrecord import glob_files
 

@@ -12,11 +12,9 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import orbax.checkpoint as ocp
 
 from yt8m_tpu.models import ModelHParams, get_model, is_frame_level_model

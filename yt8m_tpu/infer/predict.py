@@ -14,7 +14,6 @@ import gzip
 import logging
 import os
 import time
-from typing import Optional
 
 import jax
 import numpy as np

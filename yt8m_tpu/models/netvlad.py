@@ -22,7 +22,6 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from yt8m_tpu.data.quantize import dequantize
 from yt8m_tpu.kernels.netvlad import netvlad_aggregate
 from yt8m_tpu.models.frame_utils import (
     ensure_float,

@@ -17,7 +17,7 @@ bias 1.0 on the update/reset gates) so hyperparameters transfer.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import flax.linen as nn
 import jax

@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import logging
 import time
-from typing import Iterator, Optional
-
 import jax
 import numpy as np
 

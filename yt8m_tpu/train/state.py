@@ -8,7 +8,7 @@ learning_rate_decay_examples, learning_rate_decay, staircase=True)`),
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax
 import jax

@@ -10,9 +10,6 @@ utils.combine_gradients / clip_gradient_norms — all replaced by one jit.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional
-
 import jax
 import jax.numpy as jnp
 

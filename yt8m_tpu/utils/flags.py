@@ -9,7 +9,6 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import typing
-from typing import Optional
 
 
 def _parse_bool(v: str) -> bool:
