@@ -10,6 +10,10 @@ import argparse
 import dataclasses
 import typing
 
+# Optional/int/str et al. must be importable here: dataclass annotations
+# are strings (PEP 563) and get eval'd in this module's namespace.
+from typing import Optional  # noqa: F401
+
 
 def _parse_bool(v: str) -> bool:
     if isinstance(v, bool):
