@@ -14,8 +14,17 @@ import time
 from typing import Dict
 
 
+def _tb_default() -> bool:
+    # TensorFlow import costs ~10 s and is oracle-only; opt in explicitly.
+    import os
+
+    return os.environ.get("YT8M_TENSORBOARD", "0") == "1"
+
+
 class SummaryWriter:
-    def __init__(self, logdir: str, tensorboard: bool = True):
+    def __init__(self, logdir: str, tensorboard: bool = None):
+        if tensorboard is None:
+            tensorboard = _tb_default()
         self.logdir = logdir
         os.makedirs(logdir, exist_ok=True)
         self._jsonl = open(
