@@ -16,6 +16,9 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
     )
+    from yt8m_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
     cfg, _ = parse_into(EvalConfig, argv, hparams_cls=ModelHParams)
     if not cfg.eval_data_pattern:
         raise SystemExit("--eval_data_pattern is required")

@@ -22,6 +22,9 @@ def main(argv=None):
         level=logging.INFO,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
     )
+    from yt8m_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
     cfg, _ = parse_into(TrainConfig, argv, hparams_cls=ModelHParams)
     if not cfg.train_data_pattern:
         raise SystemExit("--train_data_pattern is required")

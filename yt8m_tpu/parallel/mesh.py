@@ -90,10 +90,20 @@ def tree_param_shardings(tree, mesh: Mesh):
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put numpy host batch with dim-0 sharding (ids stay host-side)."""
+    """Device-put a host batch with dim-0 sharding (ids stay host-side).
+
+    Single process: a plain sharded device_put. Multi-host: each process
+    holds ITS shard of the global batch (the reader is file-sharded per
+    host) and the global array is assembled without any cross-host copy.
+    """
     sh = batch_sharding(mesh)
-    return {
-        k: jax.device_put(v, sh)
-        for k, v in batch.items()
-        if k != "id"  # video ids stay host-side (not a device tensor)
-    }
+    multiprocess = jax.process_count() > 1
+    out = {}
+    for k, v in batch.items():
+        if k == "id":  # video ids stay host-side (not a device tensor)
+            continue
+        if multiprocess:
+            out[k] = jax.make_array_from_process_local_data(sh, v)
+        else:
+            out[k] = jax.device_put(v, sh)
+    return out

@@ -64,13 +64,26 @@ class Trainer:
 
         if data_iterator is None:
             rc = reader_config_from(cfg)
+            # Multi-host: each process reads a disjoint shard of the files
+            # and a per-host slice of the global batch (SPMD data path).
+            import jax as _jax
+
+            from yt8m_tpu.data.tfrecord import glob_files, shard_files
+
+            files = glob_files(cfg.train_data_pattern)
+            host_batch = cfg.batch_size
+            if _jax.process_count() > 1:
+                files = shard_files(
+                    files, _jax.process_index(), _jax.process_count()
+                )
+                host_batch = cfg.batch_size // _jax.process_count()
             data_iterator = make_batch_iterator(
-                cfg.train_data_pattern,
+                files,
                 rc,
-                batch_size=cfg.batch_size,
+                batch_size=host_batch,
                 shuffle=True,
                 num_epochs=cfg.num_epochs,
-                seed=cfg.seed,
+                seed=cfg.seed + _jax.process_index(),
                 pad_final_batch=True,
             )
         self.data_iterator = data_iterator
