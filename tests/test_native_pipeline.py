@@ -99,6 +99,28 @@ def test_multi_epoch_native(tmp_path):
     assert total == 12
 
 
+def test_multiprocess_reader_covers_all_videos(tmp_path):
+    from yt8m_tpu.data.pipeline import MultiprocessBatchIterator
+
+    paths, all_ids = [], []
+    for s in range(3):
+        p = str(tmp_path / f"train-{s:04d}.tfrecord")
+        ids = write_video_level_shard(p, 10, num_classes=C, seed=s)
+        paths.append(p)
+        all_ids.extend(ids)
+    cfg = ReaderConfig.video_level(num_classes=C)
+    it = MultiprocessBatchIterator(
+        paths, cfg, batch_size=4, num_workers=2, num_epochs=1
+    )
+    seen = [
+        vid
+        for b in it
+        for vid, m in zip(b["id"], b["batch_mask"])
+        if m
+    ]
+    assert sorted(seen) == sorted(all_ids)
+
+
 def test_make_batch_iterator_prefers_native(tmp_path):
     p1 = str(tmp_path / "v.tfrecord")
     write_video_level_shard(p1, 4, num_classes=C, seed=6)

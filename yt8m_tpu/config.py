@@ -23,7 +23,9 @@ class TrainConfig:
     max_frames: int = 300
     batch_size: int = 1024
     num_epochs: Optional[int] = 5
-    num_readers: int = 8
+    # reference default was 8 queue-runner threads; here it is the
+    # number of parser worker PROCESSES (1 = in-process native parser)
+    num_readers: int = 1
 
     # model / loss selection
     model: str = "LogisticModel"

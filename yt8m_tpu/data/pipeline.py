@@ -276,10 +276,97 @@ class NativeBatchIterator:
             yield item
 
 
-def make_batch_iterator(file_pattern, config, batch_size, **kw):
-    """Native iterator when buildable, else the Python fallback."""
+class MultiprocessBatchIterator:
+    """Parallel parse: files fanned across worker processes.
+
+    Reference semantics: --num_readers parallel parse threads feeding
+    shuffle_batch_join (train.py :: get_input_data_tensors). Each worker
+    runs the native parser over a disjoint round-robin file subset and
+    ships finished batch dicts back over a queue; batch order interleaves
+    across workers (like shuffle_batch_join), per-worker order preserved,
+    every video appears exactly once per epoch.
+    """
+
+    def __init__(
+        self,
+        file_pattern,
+        config: ReaderConfig,
+        batch_size: int,
+        num_workers: int = 4,
+        queue_depth: int = 4,
+        **iter_kw,
+    ):
+        if isinstance(file_pattern, str):
+            self.files = glob_files(file_pattern)
+        else:
+            self.files = list(file_pattern)
+        if not self.files:
+            raise IOError(f"no files matched {file_pattern!r}")
+        self.config = config
+        self.batch_size = batch_size
+        self.num_workers = max(1, min(num_workers, len(self.files)))
+        self.queue_depth = queue_depth
+        self.iter_kw = iter_kw
+
+    @staticmethod
+    def _worker(files, config, batch_size, iter_kw, q):
+        try:
+            it = NativeBatchIterator(
+                files, config, batch_size, prefetch=0, **iter_kw
+            )
+            for batch in it:
+                q.put(batch)
+        except Exception as e:  # pragma: no cover - propagated below
+            q.put(e)
+        finally:
+            q.put(None)
+
+    def __iter__(self):
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        q = ctx.Queue(maxsize=self.queue_depth * self.num_workers)
+        procs = []
+        for w in range(self.num_workers):
+            files_w = self.files[w :: self.num_workers]
+            if not files_w:
+                continue
+            p = ctx.Process(
+                target=self._worker,
+                args=(files_w, self.config, self.batch_size,
+                      self.iter_kw, q),
+                daemon=True,
+            )
+            p.start()
+            procs.append(p)
+        live = len(procs)
+        try:
+            while live:
+                item = q.get()
+                if item is None:
+                    live -= 1
+                    continue
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            for p in procs:
+                p.terminate()
+                p.join(timeout=5)
+
+
+def make_batch_iterator(
+    file_pattern, config, batch_size, num_readers: int = 1, **kw
+):
+    """Native iterator when buildable (multi-process when num_readers > 1),
+    else the Python fallback."""
     if get_native_lib() is not None:
         try:
+            if num_readers > 1:
+                return MultiprocessBatchIterator(
+                    file_pattern, config, batch_size,
+                    num_workers=num_readers, **kw,
+                )
             return NativeBatchIterator(
                 file_pattern, config, batch_size, **kw
             )

@@ -81,6 +81,7 @@ class Trainer:
                 files,
                 rc,
                 batch_size=host_batch,
+                num_readers=cfg.num_readers,
                 shuffle=True,
                 num_epochs=cfg.num_epochs,
                 seed=cfg.seed + _jax.process_index(),
