@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Validate the four Pallas kernels compile + run on real TPU hardware and
+match their jnp oracles (the interpret-mode tests cover CPU; this script
+is the on-chip check). Prints one line per kernel."""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+
+def main():
+    rng = np.random.default_rng(0)
+
+    from yt8m_tpu.kernels.netvlad import (
+        netvlad_aggregate,
+        netvlad_aggregate_reference,
+    )
+
+    b, f, d, k = 32, 300, 1152, 256
+    frames = rng.integers(0, 256, size=(b, f, d), dtype=np.uint8)
+    nf = rng.integers(10, f + 1, size=(b,)).astype(np.int32)
+    wc = rng.normal(0, 0.1, size=(d, k)).astype(np.float32)
+    sc = np.ones((k,), np.float32)
+    bi = np.zeros((k,), np.float32)
+    ce = rng.normal(0, 0.1, size=(k, d)).astype(np.float32)
+    t0 = time.time()
+    out = jax.block_until_ready(
+        netvlad_aggregate(
+            jnp.asarray(frames), jnp.asarray(nf), jnp.asarray(wc),
+            jnp.asarray(sc), jnp.asarray(bi), jnp.asarray(ce),
+        )
+    )
+    ref = netvlad_aggregate_reference(
+        jnp.asarray(frames), jnp.asarray(nf), jnp.asarray(wc),
+        jnp.asarray(sc), jnp.asarray(bi), jnp.asarray(ce),
+    )
+    err = float(jnp.max(jnp.abs(out - ref)))
+    print(f"netvlad TPU: {time.time()-t0:.1f}s max_err={err:.4f}",
+          flush=True)
+    assert err < 0.05
+
+    from yt8m_tpu.kernels.attention_pool import (
+        attention_pool,
+        attention_pool_reference,
+    )
+
+    q = rng.normal(0, 0.1, size=(d, 8)).astype(np.float32)
+    t0 = time.time()
+    out = jax.block_until_ready(
+        attention_pool(jnp.asarray(frames), jnp.asarray(nf), jnp.asarray(q))
+    )
+    ref = attention_pool_reference(
+        jnp.asarray(frames), jnp.asarray(nf), jnp.asarray(q)
+    )
+    rel = float(
+        jnp.max(jnp.abs(out - ref)) / (jnp.max(jnp.abs(ref)) + 1e-9)
+    )
+    print(f"attention TPU: {time.time()-t0:.1f}s rel_err={rel:.4f}",
+          flush=True)
+    assert rel < 0.05
+
+    from yt8m_tpu.kernels.lstm import (
+        lstm_recurrence,
+        lstm_recurrence_reference,
+    )
+
+    F, B, H = 300, 128, 1024
+    xp = rng.normal(0, 0.3, size=(F, B, 4 * H)).astype(np.float32)
+    nf2 = rng.integers(10, F + 1, size=(B,)).astype(np.int32)
+    wh = rng.normal(0, 0.05, size=(H, 4 * H)).astype(np.float32)
+    bias = np.zeros((4 * H,), np.float32)
+    t0 = time.time()
+    outs, (fc, fh) = lstm_recurrence(
+        jnp.asarray(xp), jnp.asarray(nf2), jnp.asarray(wh),
+        jnp.asarray(bias),
+    )
+    jax.block_until_ready(fh)
+    compile_t = time.time() - t0
+    outs_r, (fc_r, fh_r) = lstm_recurrence_reference(
+        jnp.asarray(xp), jnp.asarray(nf2), jnp.asarray(wh),
+        jnp.asarray(bias),
+    )
+    jax.block_until_ready(fh_r)
+    err = float(jnp.max(jnp.abs(fh - fh_r)))
+    t0 = time.time()
+    for _ in range(3):
+        outs, (fc, fh) = lstm_recurrence(
+            jnp.asarray(xp), jnp.asarray(nf2), jnp.asarray(wh),
+            jnp.asarray(bias),
+        )
+    jax.block_until_ready(fh)
+    t_kern = (time.time() - t0) / 3
+    t0 = time.time()
+    for _ in range(3):
+        outs_r, (fc_r, fh_r) = lstm_recurrence_reference(
+            jnp.asarray(xp), jnp.asarray(nf2), jnp.asarray(wh),
+            jnp.asarray(bias),
+        )
+    jax.block_until_ready(fh_r)
+    t_scan = (time.time() - t0) / 3
+    print(
+        f"lstm TPU: compile {compile_t:.1f}s max_err={err:.4f} "
+        f"kernel_step={t_kern*1e3:.1f}ms scan_step={t_scan*1e3:.1f}ms "
+        f"speedup={t_scan/max(t_kern,1e-9):.2f}x",
+        flush=True,
+    )
+    assert err < 0.1
+
+    from yt8m_tpu.kernels.gru import (
+        gru_recurrence,
+        gru_recurrence_reference,
+    )
+
+    xg = rng.normal(0, 0.3, size=(F, B, 2 * H)).astype(np.float32)
+    xc = rng.normal(0, 0.3, size=(F, B, H)).astype(np.float32)
+    whg = rng.normal(0, 0.05, size=(H, 2 * H)).astype(np.float32)
+    whc = rng.normal(0, 0.05, size=(H, H)).astype(np.float32)
+    bg = np.ones((2 * H,), np.float32)
+    bc = np.zeros((H,), np.float32)
+    t0 = time.time()
+    outs, fh = gru_recurrence(
+        jnp.asarray(xg), jnp.asarray(xc), jnp.asarray(nf2),
+        jnp.asarray(whg), jnp.asarray(whc), jnp.asarray(bg),
+        jnp.asarray(bc),
+    )
+    jax.block_until_ready(fh)
+    outs_r, fh_r = gru_recurrence_reference(
+        jnp.asarray(xg), jnp.asarray(xc), jnp.asarray(nf2),
+        jnp.asarray(whg), jnp.asarray(whc), jnp.asarray(bg),
+        jnp.asarray(bc),
+    )
+    err = float(jnp.max(jnp.abs(fh - fh_r)))
+    print(f"gru TPU: {time.time()-t0:.1f}s max_err={err:.4f}", flush=True)
+    assert err < 0.1
+    print("ALL KERNELS TPU OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

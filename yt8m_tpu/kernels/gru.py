@@ -29,8 +29,9 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     nf_ref,      # [TB, 1] int32
-    whg_ref,     # [H, 2H] bf16
-    whc_ref,     # [H, H] bf16
+    whg_ref,     # [H, 2H] bf16 (HBM; DMA'd once — VMEM block specs get
+                 #   double-buffered and blow the VMEM budget)
+    whc_ref,     # [H, H] bf16 (HBM; DMA'd once)
     bg_ref,      # [1, 2H] f32
     bc_ref,      # [1, H] f32
     xg_ref,      # [F, B, 2H] bf16 (HBM)
@@ -39,9 +40,12 @@ def _kernel(
     fh_ref,      # [TB, H] f32
     xg_slot,     # VMEM (2, TB, 2H) bf16
     xc_slot,     # VMEM (2, TB, H) bf16
+    whg_vmem,    # VMEM (H, 2H) bf16
+    whc_vmem,    # VMEM (H, H) bf16
     hstage,      # VMEM (TB, H) bf16
     gsem,        # DMA (2,)
     csem,        # DMA (2,)
+    whsem,       # DMA (2,)
     outsem,      # DMA ()
     *,
     tb: int,
@@ -63,11 +67,17 @@ def _kernel(
             csem.at[slot],
         )
 
+    whg_dma = pltpu.make_async_copy(whg_ref, whg_vmem, whsem.at[0])
+    whc_dma = pltpu.make_async_copy(whc_ref, whc_vmem, whsem.at[1])
+    whg_dma.start()
+    whc_dma.start()
     g_dma(0, 0).start()
     c_dma(0, 0).start()
     nf = nf_ref[...]
-    whg = whg_ref[...]
-    whc = whc_ref[...]
+    whg_dma.wait()
+    whc_dma.wait()
+    whg = whg_vmem[...]
+    whc = whc_vmem[...]
     bg = bg_ref[...]
     bc = bc_ref[...]
     h0 = jnp.zeros((tb, h_dim), jnp.float32)
@@ -155,14 +165,8 @@ def gru_recurrence(
             pl.BlockSpec(
                 (tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (h_dim, 2 * h_dim), lambda i: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (h_dim, h_dim), lambda i: (0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # Whg: HBM, DMA once
+            pl.BlockSpec(memory_space=pltpu.ANY),  # Whc: HBM, DMA once
             pl.BlockSpec(
                 (1, 2 * h_dim), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
@@ -186,7 +190,10 @@ def gru_recurrence(
         scratch_shapes=[
             pltpu.VMEM((2, tb, 2 * h_dim), jnp.bfloat16),
             pltpu.VMEM((2, tb, h_dim), jnp.bfloat16),
+            pltpu.VMEM((h_dim, 2 * h_dim), jnp.bfloat16),
+            pltpu.VMEM((h_dim, h_dim), jnp.bfloat16),
             pltpu.VMEM((tb, h_dim), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,

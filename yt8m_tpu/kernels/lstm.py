@@ -36,15 +36,19 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     nf_ref,      # [TB, 1] int32 (VMEM block)
-    wh_ref,      # [H, 4H] bf16 (VMEM, resident)
+    wh_ref,      # [H, 4H] bf16 (HBM; DMA'd once into scratch — a VMEM
+                 #   block spec would be double-buffered by the pipeline
+                 #   and blow the 16MB VMEM budget)
     bias_ref,    # [1, 4H] f32
     xp_ref,      # [F, B, 4H] bf16 (HBM; manual DMA)
     outs_ref,    # [F, B, H] bf16 (HBM; manual DMA)
     fh_ref,      # [TB, H] f32 (VMEM output block)
     fc_ref,      # [TB, H] f32
     xslot,       # scratch VMEM (2, TB, 4H) bf16
+    wh_vmem,     # scratch VMEM (H, 4H) bf16
     hstage,      # scratch VMEM (TB, H) bf16
     insem,       # DMA sems (2,)
+    whsem,       # DMA sem ()
     outsem,      # DMA sem ()
     *,
     tb: int,
@@ -61,9 +65,12 @@ def _kernel(
             insem.at[slot],
         )
 
+    wh_dma = pltpu.make_async_copy(wh_ref, wh_vmem, whsem)
+    wh_dma.start()
     in_dma(0, 0).start()
     nf = nf_ref[...]  # [TB, 1]
-    wh = wh_ref[...]
+    wh_dma.wait()
+    wh = wh_vmem[...]
     bias = bias_ref[...]
     h0 = jnp.zeros((tb, h_dim), jnp.float32)
     c0 = jnp.zeros((tb, h_dim), jnp.float32)
@@ -157,9 +164,7 @@ def lstm_recurrence(
             pl.BlockSpec(
                 (tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(
-                (h_dim, g), lambda i: (0, 0), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # W_h: HBM, DMA'd once
             pl.BlockSpec(
                 (1, g), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
@@ -181,8 +186,10 @@ def lstm_recurrence(
         ),
         scratch_shapes=[
             pltpu.VMEM((2, tb, g), jnp.bfloat16),
+            pltpu.VMEM((h_dim, g), jnp.bfloat16),
             pltpu.VMEM((tb, h_dim), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
