@@ -1,0 +1,115 @@
+"""Full ensemble flow: two trained members -> pre-ensemble dumps ->
+CLI weight fit on validate GAP -> averaged CSV (reference fork flow,
+SURVEY.md §3.5)."""
+
+import os
+
+import pytest
+
+from yt8m_tpu.cli import ensemble as ensemble_cli
+from yt8m_tpu.config import InferenceConfig, TrainConfig
+from yt8m_tpu.data.synthetic import write_dataset
+from yt8m_tpu.infer.predict import inference
+from yt8m_tpu.models.hparams import ModelHParams
+from yt8m_tpu.train.loop import Trainer
+
+C = 14
+HP = ModelHParams(compute_dtype="float32", moe_num_mixtures=2)
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ens_e2e")
+    data = str(root / "data")
+    write_dataset(
+        data, "train", num_shards=1, videos_per_shard=48,
+        frame_level=False, num_classes=C, seed=21, rgb_dim=16, audio_dim=4,
+    )
+    write_dataset(
+        data, "validate", num_shards=1, videos_per_shard=32,
+        frame_level=False, num_classes=C, seed=22, rgb_dim=16, audio_dim=4,
+    )
+    members = []
+    for i, model in enumerate(["MoeModel", "LogisticModel"]):
+        train_dir = str(root / f"member{i}")
+        Trainer(
+            TrainConfig(
+                train_data_pattern=os.path.join(data, "train-*.tfrecord"),
+                feature_names="mean_rgb,mean_audio",
+                feature_sizes="16,4",
+                num_classes=C,
+                batch_size=16,
+                num_epochs=30,
+                max_steps=30,
+                model=model,
+                base_learning_rate=0.02,
+                train_dir=train_dir,
+                save_checkpoint_every_n_steps=30,
+                log_every_n_steps=1000,
+                hparams=HP,
+            )
+        ).run()
+        pred_dir = str(root / f"preds{i}")
+        inference(
+            InferenceConfig(
+                input_data_pattern=os.path.join(
+                    data, "validate-*.tfrecord"
+                ),
+                feature_names="mean_rgb,mean_audio",
+                feature_sizes="16,4",
+                num_classes=C,
+                batch_size=16,
+                model=model,
+                train_dir=train_dir,
+                output_probabilities_dir=pred_dir,
+                hparams=HP,
+            )
+        )
+        members.append(pred_dir)
+    return str(root), data, members
+
+
+def test_cli_ensemble_fit_and_csv(setup, capsys):
+    root, data, members = setup
+    out_csv = os.path.join(root, "ensemble.csv")
+    ensemble_cli.main(
+        [
+            f"--member_dirs={','.join(members)}",
+            "--fit_weights",
+            f"--eval_labels_pattern={data}/validate-*.tfrecord",
+            f"--num_classes={C}",
+            f"--output_file={out_csv}",
+            "--top_k=5",
+        ]
+    )
+    printed = capsys.readouterr().out
+    assert "GAP" in printed
+    gap = float(printed.strip().split()[-1])
+    assert gap > 0.3  # planted signal: well above chance
+    lines = open(out_csv).read().splitlines()
+    assert lines[0] == "VideoId,LabelConfidencePairs"
+    assert len(lines) == 33
+
+
+def test_checkpoint_ensembling(setup):
+    from yt8m_tpu.ensemble.checkpoints import (
+        ensemble_checkpoint_predictions,
+    )
+
+    root, data, _ = setup
+    cfg = InferenceConfig(
+        input_data_pattern=os.path.join(data, "validate-*.tfrecord"),
+        feature_names="mean_rgb,mean_audio",
+        feature_sizes="16,4",
+        num_classes=C,
+        batch_size=16,
+        model="MoeModel",
+        train_dir=os.path.join(root, "member0"),
+        hparams=HP,
+    )
+    out_csv = os.path.join(root, "ckpt_ens.csv")
+    ids, avg = ensemble_checkpoint_predictions(
+        cfg, last_n=1, output_csv=out_csv
+    )
+    assert len(ids) == 32 and avg.shape == (32, C)
+    assert os.path.exists(out_csv)

@@ -143,7 +143,7 @@ def gru_recurrence(
     bg,          # [2H] f32
     bc,          # [H] f32
     reverse: bool = False,
-    tile_b: int = 128,
+    tile_b: int = 64,
     interpret: bool = False,
 ):
     """Returns (outputs [F, B, H] f32, final_h [B, H] f32)."""
@@ -165,8 +165,8 @@ def gru_recurrence(
             pl.BlockSpec(
                 (tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # Whg: HBM, DMA once
-            pl.BlockSpec(memory_space=pltpu.ANY),  # Whc: HBM, DMA once
+            pl.BlockSpec(memory_space=pltpu.HBM),  # Whg: HBM, DMA once
+            pl.BlockSpec(memory_space=pltpu.HBM),  # Whc: HBM, DMA once
             pl.BlockSpec(
                 (1, 2 * h_dim), lambda i: (0, 0),
                 memory_space=pltpu.VMEM,
@@ -174,11 +174,11 @@ def gru_recurrence(
             pl.BlockSpec(
                 (1, h_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
                 (tb, h_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),

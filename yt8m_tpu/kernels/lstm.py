@@ -134,7 +134,7 @@ def lstm_recurrence(
     wh,          # [H, 4H] f32
     bias,        # [4H] f32
     reverse: bool = False,
-    tile_b: int = 128,
+    tile_b: int = 64,
     interpret: bool = False,
 ):
     """Returns (outputs [F, B, H] f32, (final_c, final_h) [B, H] f32).
@@ -164,14 +164,14 @@ def lstm_recurrence(
             pl.BlockSpec(
                 (tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # W_h: HBM, DMA'd once
+            pl.BlockSpec(memory_space=pltpu.HBM),  # W_h: HBM, DMA'd once
             pl.BlockSpec(
                 (1, g), lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x_proj stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # x_proj stays in HBM
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),  # outputs in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # outputs in HBM
             pl.BlockSpec(
                 (tb, h_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
