@@ -76,8 +76,6 @@ def _kernel(
     nf = nf_ref[...]
     whg_dma.wait()
     whc_dma.wait()
-    whg = whg_vmem[...]
-    whc = whc_vmem[...]
     bg = bg_ref[...]
     bc = bc_ref[...]
     h0 = jnp.zeros((tb, h_dim), jnp.float32)
@@ -97,7 +95,7 @@ def _kernel(
 
         gates = jax.nn.sigmoid(
             jnp.dot(
-                h.astype(jnp.bfloat16), whg,
+                h.astype(jnp.bfloat16), whg_vmem[...],
                 preferred_element_type=jnp.float32,
             )
             + xg.astype(jnp.float32)
@@ -107,7 +105,7 @@ def _kernel(
         u = gates[:, h_dim:]
         cand = jnp.tanh(
             jnp.dot(
-                (r * h).astype(jnp.bfloat16), whc,
+                (r * h).astype(jnp.bfloat16), whc_vmem[...],
                 preferred_element_type=jnp.float32,
             )
             + xc.astype(jnp.float32)

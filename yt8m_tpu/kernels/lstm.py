@@ -70,7 +70,6 @@ def _kernel(
     in_dma(0, 0).start()
     nf = nf_ref[...]  # [TB, 1]
     wh_dma.wait()
-    wh = wh_vmem[...]
     bias = bias_ref[...]
     h0 = jnp.zeros((tb, h_dim), jnp.float32)
     c0 = jnp.zeros((tb, h_dim), jnp.float32)
@@ -86,9 +85,11 @@ def _kernel(
         in_dma(slot, t).wait()
         x = xslot[slot]  # [TB, 4H] bf16
 
+        # NB: wh_vmem is read inside the loop — hoisting the full-buffer
+        # read would pin an extra 8.4MB copy on the VMEM stack.
         z = (
             jnp.dot(
-                h.astype(jnp.bfloat16), wh,
+                h.astype(jnp.bfloat16), wh_vmem[...],
                 preferred_element_type=jnp.float32,
             )
             + x.astype(jnp.float32)
