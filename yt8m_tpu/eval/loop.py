@@ -121,8 +121,9 @@ def evaluation_loop(config: EvalConfig) -> Dict:
     """--run_once or poll-forever over new checkpoints (reference eval.py)."""
     if config.run_once or config.checkpoint_step is not None:
         return evaluate_checkpoint(config, step=config.checkpoint_step)
+    # --run_once=False: poll the train dir forever, evaluating each new
+    # checkpoint exactly once (reference eval.py loop behaviour).
     seen = set()
-    last = None
     while True:
         ckpt = CheckpointManager(config.train_dir)
         steps = [s for s in ckpt.all_steps() if s not in seen]
@@ -131,6 +132,5 @@ def evaluation_loop(config: EvalConfig) -> Dict:
             time.sleep(10)
             continue
         for s in steps:
-            last = evaluate_checkpoint(config, step=s)
+            evaluate_checkpoint(config, step=s)
             seen.add(s)
-    return last
