@@ -2,7 +2,9 @@
 
 Same decomposition: the input projections x@Wx_g ([F,B,2H]) and x@Wx_c
 ([F,B,H]) are batched MXU matmuls outside; this kernel runs the
-sequential part with both recurrent weights resident in VMEM:
+sequential part with time as the innermost grid dimension (sequential per
+core), the h carry in VMEM scratch, and both recurrent weights DMA'd into
+VMEM once per batch tile:
 
     g_t  = sigmoid(xg_t + h @ Whg + bg);  r, u = split(g_t)
     c_t  = tanh(xc_t + (r * h) @ Whc + bc)
@@ -29,104 +31,65 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     nf_ref,      # [TB, 1] int32
-    whg_ref,     # [H, 2H] bf16 (HBM; DMA'd once — VMEM block specs get
-                 #   double-buffered and blow the VMEM budget)
-    whc_ref,     # [H, H] bf16 (HBM; DMA'd once)
     bg_ref,      # [1, 2H] f32
     bc_ref,      # [1, H] f32
-    xg_ref,      # [F, B, 2H] bf16 (HBM)
-    xc_ref,      # [F, B, H] bf16 (HBM)
-    outs_ref,    # [F, B, H] bf16 (HBM)
+    whg_ref,     # [H, 2H] bf16 (HBM; DMA'd once per batch tile)
+    whc_ref,     # [H, H] bf16 (HBM; DMA'd once per batch tile)
+    xg_ref,      # [1, TB, 2H] bf16 (VMEM block: Xg[t, tile])
+    xc_ref,      # [1, TB, H] bf16 (VMEM block: Xc[t, tile])
+    outs_ref,    # [1, TB, H] bf16
     fh_ref,      # [TB, H] f32
-    xg_slot,     # VMEM (2, TB, 2H) bf16
-    xc_slot,     # VMEM (2, TB, H) bf16
-    whg_vmem,    # VMEM (H, 2H) bf16
-    whc_vmem,    # VMEM (H, H) bf16
-    hstage,      # VMEM (TB, H) bf16
-    gsem,        # DMA (2,)
-    csem,        # DMA (2,)
-    whsem,       # DMA (2,)
-    outsem,      # DMA ()
+    h_sc,        # scratch VMEM (TB, H) f32
+    whg_vmem,    # scratch VMEM (H, 2H) bf16
+    whc_vmem,    # scratch VMEM (H, H) bf16
+    whsem,       # DMA sems (2,)
     *,
-    tb: int,
     h_dim: int,
     f_steps: int,
     reverse: bool,
 ):
-    i = pl.program_id(0)
+    t = pl.program_id(1)
 
-    def g_dma(slot, t):
-        return pltpu.make_async_copy(
-            xg_ref.at[t, pl.ds(i * tb, tb), :], xg_slot.at[slot],
-            gsem.at[slot],
+    @pl.when(t == 0)
+    def _():
+        whg_dma = pltpu.make_async_copy(whg_ref, whg_vmem, whsem.at[0])
+        whc_dma = pltpu.make_async_copy(whc_ref, whc_vmem, whsem.at[1])
+        whg_dma.start()
+        whc_dma.start()
+        h_sc[...] = jnp.zeros_like(h_sc)
+        whg_dma.wait()
+        whc_dma.wait()
+
+    h = h_sc[...]
+    gates = jax.nn.sigmoid(
+        jnp.dot(
+            h.astype(jnp.bfloat16),
+            whg_vmem[...],
+            preferred_element_type=jnp.float32,
         )
-
-    def c_dma(slot, t):
-        return pltpu.make_async_copy(
-            xc_ref.at[t, pl.ds(i * tb, tb), :], xc_slot.at[slot],
-            csem.at[slot],
+        + xg_ref[0].astype(jnp.float32)
+        + bg_ref[...]
+    )
+    r = gates[:, :h_dim]
+    u = gates[:, h_dim:]
+    cand = jnp.tanh(
+        jnp.dot(
+            (r * h).astype(jnp.bfloat16),
+            whc_vmem[...],
+            preferred_element_type=jnp.float32,
         )
+        + xc_ref[0].astype(jnp.float32)
+        + bc_ref[...]
+    )
+    new_h = u * h + (1.0 - u) * cand
 
-    whg_dma = pltpu.make_async_copy(whg_ref, whg_vmem, whsem.at[0])
-    whc_dma = pltpu.make_async_copy(whc_ref, whc_vmem, whsem.at[1])
-    whg_dma.start()
-    whc_dma.start()
-    g_dma(0, 0).start()
-    c_dma(0, 0).start()
-    nf = nf_ref[...]
-    whg_dma.wait()
-    whc_dma.wait()
-    bg = bg_ref[...]
-    bc = bc_ref[...]
-    h0 = jnp.zeros((tb, h_dim), jnp.float32)
+    orig_t = (f_steps - 1 - t) if reverse else t
+    live = nf_ref[...] > orig_t
+    new_h = jnp.where(live, new_h, h)
 
-    def body(t, h):
-        slot = jax.lax.rem(t, 2)
-
-        @pl.when(t + 1 < f_steps)
-        def _():
-            g_dma(jax.lax.rem(t + 1, 2), t + 1).start()
-            c_dma(jax.lax.rem(t + 1, 2), t + 1).start()
-
-        g_dma(slot, t).wait()
-        c_dma(slot, t).wait()
-        xg = xg_slot[slot]
-        xc = xc_slot[slot]
-
-        gates = jax.nn.sigmoid(
-            jnp.dot(
-                h.astype(jnp.bfloat16), whg_vmem[...],
-                preferred_element_type=jnp.float32,
-            )
-            + xg.astype(jnp.float32)
-            + bg
-        )
-        r = gates[:, :h_dim]
-        u = gates[:, h_dim:]
-        cand = jnp.tanh(
-            jnp.dot(
-                (r * h).astype(jnp.bfloat16), whc_vmem[...],
-                preferred_element_type=jnp.float32,
-            )
-            + xc.astype(jnp.float32)
-            + bc
-        )
-        new_h = u * h + (1.0 - u) * cand
-
-        orig_t = (f_steps - 1 - t) if reverse else t
-        live = nf > orig_t
-        new_h = jnp.where(live, new_h, h)
-
-        hstage[...] = new_h.astype(jnp.bfloat16)
-        out_dma = pltpu.make_async_copy(
-            hstage, outs_ref.at[t, pl.ds(i * tb, tb), :], outsem
-        )
-        out_dma.start()
-        out_dma.wait()
-        return new_h
-
-    h = jax.lax.fori_loop(0, f_steps, body, h0)
-    fh_ref[...] = h
+    h_sc[...] = new_h
+    outs_ref[0] = new_h.astype(jnp.bfloat16)
+    fh_ref[...] = new_h
 
 
 @functools.partial(
@@ -141,7 +104,7 @@ def gru_recurrence(
     bg,          # [2H] f32
     bc,          # [H] f32
     reverse: bool = False,
-    tile_b: int = 64,
+    tile_b: int = 128,
     interpret: bool = False,
 ):
     """Returns (outputs [F, B, H] f32, final_h [B, H] f32)."""
@@ -156,29 +119,40 @@ def gru_recurrence(
 
     outs, fh = pl.pallas_call(
         functools.partial(
-            _kernel, tb=tb, h_dim=h_dim, f_steps=f, reverse=reverse
+            _kernel, h_dim=h_dim, f_steps=f, reverse=reverse
         ),
-        grid=(b_pad // tb,),
+        grid=(b_pad // tb, f),
         in_specs=[
             pl.BlockSpec(
-                (tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tb, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # Whg: HBM, DMA once
-            pl.BlockSpec(memory_space=pltpu.HBM),  # Whc: HBM, DMA once
             pl.BlockSpec(
-                (1, 2 * h_dim), lambda i: (0, 0),
+                (1, 2 * h_dim), lambda i, t: (0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, h_dim), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, h_dim), lambda i, t: (0, 0),
+                memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # Whg
+            pl.BlockSpec(memory_space=pltpu.HBM),  # Whc
+            pl.BlockSpec(
+                (1, tb, 2 * h_dim), lambda i, t: (t, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, tb, h_dim), lambda i, t: (t, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(
-                (tb, h_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, tb, h_dim), lambda i, t: (t, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tb, h_dim), lambda i, t: (i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
@@ -186,15 +160,10 @@ def gru_recurrence(
             jax.ShapeDtypeStruct((b_pad, h_dim), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, 2 * h_dim), jnp.bfloat16),
-            pltpu.VMEM((2, tb, h_dim), jnp.bfloat16),
+            pltpu.VMEM((tb, h_dim), jnp.float32),
             pltpu.VMEM((h_dim, 2 * h_dim), jnp.bfloat16),
             pltpu.VMEM((h_dim, h_dim), jnp.bfloat16),
-            pltpu.VMEM((tb, h_dim), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * f * b_pad * h_dim * 3 * h_dim,
@@ -205,10 +174,10 @@ def gru_recurrence(
         interpret=interpret,
     )(
         num_frames.astype(jnp.int32).reshape(-1, 1),
-        whg.astype(jnp.bfloat16),
-        whc.astype(jnp.bfloat16),
         bg.astype(jnp.float32).reshape(1, -1),
         bc.astype(jnp.float32).reshape(1, -1),
+        whg.astype(jnp.bfloat16),
+        whc.astype(jnp.bfloat16),
         xg.astype(jnp.bfloat16),
         xc.astype(jnp.bfloat16),
     )

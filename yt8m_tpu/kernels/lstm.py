@@ -5,19 +5,21 @@ kernels". The LSTM is split the TPU way:
 
   1. Input projection X' = X @ W_x for ALL timesteps as ONE [B*F, D] x
      [D, 4H] matmul outside the kernel (MXU-dense, no sequential dep).
-  2. This kernel runs the sequential part: for t in 0..F-1
-         z_t   = X'_t + h @ W_h + bias
-         c,h   = lstm_cell(z_t, c, h)            (TF1 forget_bias=1.0)
-         carry frozen for t >= num_frames        (dynamic_rnn semantics)
-     with W_h ([H, 4H] bf16) RESIDENT IN VMEM for all 300 steps, the
-     h/c carries held on-chip, and X'_t slices double-buffer-DMA'd from
-     HBM — the per-step HBM traffic of the lax.scan path (carry + gate
-     round trips) disappears.
+  2. This kernel runs the sequential part. Time is the INNERMOST GRID
+     dimension — Mosaic executes grid steps sequentially per core, so the
+     h/c carries live in VMEM scratch across steps, W_h ([H, 4H] bf16)
+     is DMA'd into VMEM once per batch tile, and the Pallas pipeline
+     double-buffers the X'_t block stream automatically. No unrolled
+     time loop, no per-step HBM carry round trips.
 
-Grid: one program per batch tile (TB rows); each step does a
-[TB, H] x [H, 4H] MXU matmul. Used on the inference/eval path; training
-keeps the lax.scan graph for autodiff. Equivalence vs the scan oracle is
-tested in interpret mode (tests/test_kernels.py).
+     for (i, t) in grid(B/TB, F):
+         z     = h @ W_h + X'[t, tile_i] + bias
+         c,h   = lstm_cell(z, c, h)            (TF1 forget_bias = 1.0)
+         carry frozen for t >= num_frames      (dynamic_rnn semantics)
+
+Used on the inference/eval path; training keeps the lax.scan graph for
+autodiff. Equivalence vs the scan oracle is tested in interpret mode
+(tests/test_kernels.py) and on-chip (scripts/validate_kernels_tpu.py).
 """
 
 from __future__ import annotations
@@ -35,95 +37,64 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(
-    nf_ref,      # [TB, 1] int32 (VMEM block)
-    wh_ref,      # [H, 4H] bf16 (HBM; DMA'd once into scratch — a VMEM
-                 #   block spec would be double-buffered by the pipeline
-                 #   and blow the 16MB VMEM budget)
-    bias_ref,    # [1, 4H] f32
-    xp_ref,      # [F, B, 4H] bf16 (HBM; manual DMA)
-    outs_ref,    # [F, B, H] bf16 (HBM; manual DMA)
-    fh_ref,      # [TB, H] f32 (VMEM output block)
+    nf_ref,      # [TB, 1] int32 (VMEM block, per batch tile)
+    bias_ref,    # [1, 4H] f32 (VMEM)
+    wh_ref,      # [H, 4H] bf16 (HBM; DMA'd once per batch tile)
+    xp_ref,      # [1, TB, 4H] bf16 (VMEM block: X'[t, tile])
+    outs_ref,    # [1, TB, H] bf16 (VMEM block: outputs[t, tile])
+    fh_ref,      # [TB, H] f32 (VMEM block, per batch tile)
     fc_ref,      # [TB, H] f32
-    xslot,       # scratch VMEM (2, TB, 4H) bf16
+    h_sc,        # scratch VMEM (TB, H) f32 — carry, persists over t
+    c_sc,        # scratch VMEM (TB, H) f32
     wh_vmem,     # scratch VMEM (H, 4H) bf16
-    hstage,      # scratch VMEM (TB, H) bf16
-    insem,       # DMA sems (2,)
-    whsem,       # DMA sem ()
-    outsem,      # DMA sem ()
+    whsem,       # DMA sem
     *,
-    tb: int,
     h_dim: int,
     f_steps: int,
     reverse: bool,
 ):
-    i = pl.program_id(0)
+    t = pl.program_id(1)
 
-    def in_dma(slot, t):
-        return pltpu.make_async_copy(
-            xp_ref.at[t, pl.ds(i * tb, tb), :],
-            xslot.at[slot],
-            insem.at[slot],
+    @pl.when(t == 0)
+    def _():
+        wh_dma = pltpu.make_async_copy(wh_ref, wh_vmem, whsem)
+        wh_dma.start()
+        h_sc[...] = jnp.zeros_like(h_sc)
+        c_sc[...] = jnp.zeros_like(c_sc)
+        wh_dma.wait()
+
+    h = h_sc[...]
+    c = c_sc[...]
+    z = (
+        jnp.dot(
+            h.astype(jnp.bfloat16),
+            wh_vmem[...],
+            preferred_element_type=jnp.float32,
         )
+        + xp_ref[0].astype(jnp.float32)
+        + bias_ref[...]
+    )
+    gi = z[:, 0 * h_dim : 1 * h_dim]
+    gj = z[:, 1 * h_dim : 2 * h_dim]
+    gf = z[:, 2 * h_dim : 3 * h_dim]
+    go = z[:, 3 * h_dim : 4 * h_dim]
+    new_c = c * jax.nn.sigmoid(gf + 1.0) + jax.nn.sigmoid(gi) * jnp.tanh(
+        gj
+    )
+    new_h = jnp.tanh(new_c) * jax.nn.sigmoid(go)
 
-    wh_dma = pltpu.make_async_copy(wh_ref, wh_vmem, whsem)
-    wh_dma.start()
-    in_dma(0, 0).start()
-    nf = nf_ref[...]  # [TB, 1]
-    wh_dma.wait()
-    bias = bias_ref[...]
-    h0 = jnp.zeros((tb, h_dim), jnp.float32)
-    c0 = jnp.zeros((tb, h_dim), jnp.float32)
+    # dynamic_rnn(sequence_length) semantics: freeze past the last real
+    # frame. `t` indexes the (possibly flipped) stream.
+    orig_t = (f_steps - 1 - t) if reverse else t
+    live = nf_ref[...] > orig_t  # [TB, 1] bool
+    new_c = jnp.where(live, new_c, c)
+    new_h = jnp.where(live, new_h, h)
 
-    def body(t, carry):
-        h, c = carry
-        slot = jax.lax.rem(t, 2)
-
-        @pl.when(t + 1 < f_steps)
-        def _():
-            in_dma(jax.lax.rem(t + 1, 2), t + 1).start()
-
-        in_dma(slot, t).wait()
-        x = xslot[slot]  # [TB, 4H] bf16
-
-        # NB: wh_vmem is read inside the loop — hoisting the full-buffer
-        # read would pin an extra 8.4MB copy on the VMEM stack.
-        z = (
-            jnp.dot(
-                h.astype(jnp.bfloat16), wh_vmem[...],
-                preferred_element_type=jnp.float32,
-            )
-            + x.astype(jnp.float32)
-            + bias
-        )
-        gi = z[:, 0 * h_dim : 1 * h_dim]
-        gj = z[:, 1 * h_dim : 2 * h_dim]
-        gf = z[:, 2 * h_dim : 3 * h_dim]
-        go = z[:, 3 * h_dim : 4 * h_dim]
-        new_c = c * jax.nn.sigmoid(gf + 1.0) + jax.nn.sigmoid(
-            gi
-        ) * jnp.tanh(gj)
-        new_h = jnp.tanh(new_c) * jax.nn.sigmoid(go)
-
-        # dynamic_rnn(sequence_length) semantics: freeze past the last
-        # real frame. `t` is a position in the (possibly flipped) stream.
-        orig_t = (f_steps - 1 - t) if reverse else t
-        live = nf > orig_t  # [TB, 1] bool
-        new_c = jnp.where(live, new_c, c)
-        new_h = jnp.where(live, new_h, h)
-
-        hstage[...] = new_h.astype(jnp.bfloat16)
-        out_dma = pltpu.make_async_copy(
-            hstage,
-            outs_ref.at[t, pl.ds(i * tb, tb), :],
-            outsem,
-        )
-        out_dma.start()
-        out_dma.wait()
-        return (new_h, new_c)
-
-    h, c = jax.lax.fori_loop(0, f_steps, body, (h0, c0))
-    fh_ref[...] = h
-    fc_ref[...] = c
+    h_sc[...] = new_h
+    c_sc[...] = new_c
+    outs_ref[0] = new_h.astype(jnp.bfloat16)
+    fh_ref[...] = new_h
+    fc_ref[...] = new_c
 
 
 @functools.partial(
@@ -135,7 +106,7 @@ def lstm_recurrence(
     wh,          # [H, 4H] f32
     bias,        # [4H] f32
     reverse: bool = False,
-    tile_b: int = 64,
+    tile_b: int = 128,
     interpret: bool = False,
 ):
     """Returns (outputs [F, B, H] f32, (final_c, final_h) [B, H] f32).
@@ -154,30 +125,34 @@ def lstm_recurrence(
 
     outs, fh, fc = pl.pallas_call(
         functools.partial(
-            _kernel,
-            tb=tb,
-            h_dim=h_dim,
-            f_steps=f,
-            reverse=reverse,
+            _kernel, h_dim=h_dim, f_steps=f, reverse=reverse
         ),
-        grid=(b_pad // tb,),
+        grid=(b_pad // tb, f),  # time innermost: sequential per tile
         in_specs=[
             pl.BlockSpec(
-                (tb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tb, 1), lambda i, t: (i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # W_h: HBM, DMA'd once
             pl.BlockSpec(
-                (1, g), lambda i: (0, 0), memory_space=pltpu.VMEM
+                (1, g), lambda i, t: (0, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec(memory_space=pltpu.HBM),  # x_proj stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),  # W_h
+            pl.BlockSpec(
+                (1, tb, g), lambda i, t: (t, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.HBM),  # outputs in HBM
             pl.BlockSpec(
-                (tb, h_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (1, tb, h_dim), lambda i, t: (t, i, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (tb, h_dim), lambda i: (i, 0), memory_space=pltpu.VMEM
+                (tb, h_dim), lambda i, t: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tb, h_dim), lambda i, t: (i, 0),
+                memory_space=pltpu.VMEM,
             ),
         ),
         out_shape=(
@@ -186,11 +161,9 @@ def lstm_recurrence(
             jax.ShapeDtypeStruct((b_pad, h_dim), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, tb, g), jnp.bfloat16),
+            pltpu.VMEM((tb, h_dim), jnp.float32),
+            pltpu.VMEM((tb, h_dim), jnp.float32),
             pltpu.VMEM((h_dim, g), jnp.bfloat16),
-            pltpu.VMEM((tb, h_dim), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
@@ -202,8 +175,8 @@ def lstm_recurrence(
         interpret=interpret,
     )(
         num_frames.astype(jnp.int32).reshape(-1, 1),
-        wh.astype(jnp.bfloat16),
         bias.astype(jnp.float32).reshape(1, -1),
+        wh.astype(jnp.bfloat16),
         x_proj.astype(jnp.bfloat16),
     )
     return (
