@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""On-chip LSTM kernel vs lax.scan: correctness + step time.
+
+Data generated on device (the axon tunnel makes large host->device
+transfers misleadingly slow)."""
+
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+from yt8m_tpu.kernels.lstm import (  # noqa: E402
+    lstm_recurrence,
+    lstm_recurrence_reference,
+)
+
+
+def main():
+    F, B, H = 300, 128, 1024
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    xp = jax.random.normal(k1, (F, B, 4 * H), jnp.float32) * 0.3
+    nf = jax.random.randint(k2, (B,), 10, F + 1, dtype=jnp.int32)
+    wh = jax.random.normal(k3, (H, 4 * H), jnp.float32) * 0.05
+    bias = jnp.zeros((4 * H,), jnp.float32)
+    xp, nf, wh, bias = jax.block_until_ready(
+        jax.device_put((xp, nf, wh, bias))
+    )
+    print("data ready", flush=True)
+
+    outs, (fc, fh) = lstm_recurrence(xp, nf, wh, bias)
+    outs_r, (fc_r, fh_r) = lstm_recurrence_reference(xp, nf, wh, bias)
+    jax.block_until_ready((fh, fh_r))
+    err_h = float(jnp.max(jnp.abs(fh - fh_r)))
+    err_c = float(jnp.max(jnp.abs(fc - fc_r)))
+    err_o = float(jnp.max(jnp.abs(outs - outs_r)))
+    print(
+        f"max_err fh={err_h:.5f} fc={err_c:.5f} outs={err_o:.5f}",
+        flush=True,
+    )
+
+    t0 = time.time()
+    for _ in range(5):
+        outs, (fc, fh) = lstm_recurrence(xp, nf, wh, bias)
+    jax.block_until_ready(fh)
+    tk = (time.time() - t0) / 5
+    t0 = time.time()
+    for _ in range(5):
+        outs_r, (fc_r, fh_r) = lstm_recurrence_reference(
+            xp, nf, wh, bias
+        )
+    jax.block_until_ready(fh_r)
+    ts = (time.time() - t0) / 5
+    print(
+        f"kernel {tk*1e3:.1f}ms scan {ts*1e3:.1f}ms "
+        f"speedup {ts/tk:.2f}x",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -200,7 +200,7 @@ def gru_recurrence_reference(
                 h.astype(jnp.bfloat16), whg_b,
                 preferred_element_type=jnp.float32,
             )
-            + xg_t.astype(jnp.float32)
+            + xg_t.astype(jnp.bfloat16).astype(jnp.float32)
             + bg
         )
         r, u = gates[:, :h_dim], gates[:, h_dim:]
@@ -209,7 +209,7 @@ def gru_recurrence_reference(
                 (r * h).astype(jnp.bfloat16), whc_b,
                 preferred_element_type=jnp.float32,
             )
-            + xc_t.astype(jnp.float32)
+            + xc_t.astype(jnp.bfloat16).astype(jnp.float32)
             + bc
         )
         new_h = u * h + (1.0 - u) * cand

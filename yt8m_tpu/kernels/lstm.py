@@ -197,12 +197,13 @@ def lstm_recurrence_reference(
     def step(carry, inp):
         h, c = carry
         x, t = inp
+        # x rounds through bf16 exactly as the kernel's streamed input.
         z = (
             jnp.dot(
                 h.astype(jnp.bfloat16), wh_b,
                 preferred_element_type=jnp.float32,
             )
-            + x.astype(jnp.float32)
+            + x.astype(jnp.bfloat16).astype(jnp.float32)
             + bias
         )
         gi, gj, gf, go = jnp.split(z, 4, axis=-1)
