@@ -222,6 +222,57 @@ def test_gru_recurrence_matches_scan(reverse):
     np.testing.assert_allclose(np.asarray(fh), np.asarray(fh_r), atol=2e-2)
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_lstm_trainable_gradients_match_scan_autodiff(reverse):
+    """custom-VJP kernel grads == jax.grad through the scan oracle."""
+    import jax as _jax
+
+    from yt8m_tpu.kernels.lstm import lstm_recurrence_reference
+    from yt8m_tpu.kernels.lstm_train import lstm_recurrence_trainable
+
+    rng = np.random.default_rng(8)
+    f, b, h = 6, 8, 128
+    g = 4 * h
+    xp = jnp.asarray(rng.normal(0, 0.5, size=(f, b, g)).astype(np.float32))
+    nf = jnp.asarray(np.array([6, 2, 1, 6, 4, 3, 5, 2], np.int32))
+    wh = jnp.asarray(rng.normal(0, 0.1, size=(h, g)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.05, size=(g,)).astype(np.float32))
+    # Fixed random projections make the scalar loss sensitive to every
+    # output (outs, fc, fh).
+    wo = jnp.asarray(rng.normal(size=(f, b, h)).astype(np.float32))
+    wf = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32))
+
+    def loss_kernel(xp, wh, bias):
+        outs, (fc, fh) = lstm_recurrence_trainable(
+            xp, nf, wh, bias, reverse, 128, True
+        )
+        return (
+            jnp.sum(outs * wo) + jnp.sum(fc * wf) + 2.0 * jnp.sum(fh * wf)
+        )
+
+    def loss_ref(xp, wh, bias):
+        outs, (fc, fh) = lstm_recurrence_reference(
+            xp, nf, wh, bias, reverse=reverse
+        )
+        return (
+            jnp.sum(outs * wo) + jnp.sum(fc * wf) + 2.0 * jnp.sum(fh * wf)
+        )
+
+    val_k, grads_k = _jax.value_and_grad(loss_kernel, argnums=(0, 1, 2))(
+        xp, wh, bias
+    )
+    val_r, grads_r = _jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(
+        xp, wh, bias
+    )
+    assert np.allclose(float(val_k), float(val_r), rtol=2e-2, atol=1e-2)
+    for gk, gr, name in zip(grads_k, grads_r, ["dx", "dwh", "dbias"]):
+        gk, gr = np.asarray(gk), np.asarray(gr)
+        scale = np.abs(gr).max() or 1.0
+        np.testing.assert_allclose(
+            gk / scale, gr / scale, atol=3e-2, err_msg=name
+        )
+
+
 def test_dequant_matches_yt8m_dequantize_semantics():
     """scale/bias = plain YT-8M dequantize -> kernel == dequantize+matmul."""
     from yt8m_tpu.data.quantize import dequantize
