@@ -86,15 +86,18 @@ def main():
     feats, nf = make_batch(jax.random.PRNGKey(0))
     jax.block_until_ready(forward(feats, nf))
 
-    steps = 10
+    steps = 30
     batches = [make_batch(jax.random.PRNGKey(i)) for i in range(4)]
     jax.block_until_ready(batches)
+    # NB: device_get (not block_until_ready) — the experimental axon
+    # platform's block_until_ready can return before execution finishes,
+    # inflating throughput. device_get forces a real device->host sync.
     t0 = time.perf_counter()
     outs = None
     for i in range(steps):
         feats, nf = batches[i % len(batches)]
         outs = forward(feats, nf)
-    jax.block_until_ready(outs)
+    _ = jax.device_get(outs)
     dt = time.perf_counter() - t0
 
     videos_per_sec = batch * steps / dt

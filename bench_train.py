@@ -80,14 +80,16 @@ def main():
         key = jax.random.PRNGKey(1)
 
         state, metrics = step_fn(state, device_batch, key)  # compile
-        jax.block_until_ready(metrics["loss"])
-        steps = 5
+        _ = jax.device_get(metrics["loss"])
+        steps = 20
+        # device_get forces a real sync (axon block_until_ready can
+        # return early; see scripts/check_timing_sanity.py).
         t0 = time.perf_counter()
         for i in range(steps):
             state, metrics = step_fn(
                 state, device_batch, jax.random.fold_in(key, i)
             )
-        jax.block_until_ready(metrics["loss"])
+        _ = jax.device_get(metrics["loss"])
         dt = time.perf_counter() - t0
         vps = batch * steps / dt
         print(

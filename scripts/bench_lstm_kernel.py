@@ -43,17 +43,19 @@ def main():
         flush=True,
     )
 
+    # device_get forces a real sync (axon block_until_ready returns
+    # early; scripts/check_timing_sanity.py).
     t0 = time.time()
     for _ in range(5):
         outs, (fc, fh) = lstm_recurrence(xp, nf, wh, bias)
-    jax.block_until_ready(fh)
+    _ = jax.device_get(fh)
     tk = (time.time() - t0) / 5
     t0 = time.time()
     for _ in range(5):
         outs_r, (fc_r, fh_r) = lstm_recurrence_reference(
             xp, nf, wh, bias
         )
-    jax.block_until_ready(fh_r)
+    _ = jax.device_get(fh_r)
     ts = (time.time() - t0) / 5
     print(
         f"kernel {tk*1e3:.1f}ms scan {ts*1e3:.1f}ms "
