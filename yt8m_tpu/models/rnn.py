@@ -56,15 +56,20 @@ class _LstmLayer(nn.Module):
         from yt8m_tpu.kernels import kernels_enabled
 
         if (
-            not train
-            and self.use_pallas
+            self.use_pallas
             and kernels_enabled()
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
         ):
             # Fused path: batched input projection + Pallas recurrence
-            # (kernels/lstm.py) with W_h resident in VMEM.
+            # with W_h resident in VMEM. Training uses the custom-VJP
+            # variant (kernels/lstm_train.py — forward streams gate/cell
+            # residuals, reverse-time kernel emits dZ); inference uses the
+            # residual-free kernel (kernels/lstm.py).
             from yt8m_tpu.kernels.lstm import lstm_recurrence
+            from yt8m_tpu.kernels.lstm_train import (
+                lstm_recurrence_trainable,
+            )
 
             num_frames = jnp.sum(mask[:, :, 0], axis=0).astype(jnp.int32)
             wx, whh = kernel[:d], kernel[d:]
@@ -76,9 +81,14 @@ class _LstmLayer(nn.Module):
             )
             if self.reverse:
                 xp = jnp.flip(xp, axis=0)
-            outputs, (final_c, final_h) = lstm_recurrence(
-                xp, num_frames, whh, bias, reverse=self.reverse
-            )
+            if train:
+                outputs, (final_c, final_h) = lstm_recurrence_trainable(
+                    xp, num_frames, whh, bias, self.reverse, 128, False
+                )
+            else:
+                outputs, (final_c, final_h) = lstm_recurrence(
+                    xp, num_frames, whh, bias, reverse=self.reverse
+                )
             if self.reverse:
                 outputs = jnp.flip(outputs, axis=0)
             return outputs, (final_c, final_h)
