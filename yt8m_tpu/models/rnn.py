@@ -82,8 +82,10 @@ class _LstmLayer(nn.Module):
             if self.reverse:
                 xp = jnp.flip(xp, axis=0)
             if train:
+                # tb=64: the residual-streaming forward carries extra
+                # VMEM output blocks (gates + cell states).
                 outputs, (final_c, final_h) = lstm_recurrence_trainable(
-                    xp, num_frames, whh, bias, self.reverse, 128, False
+                    xp, num_frames, whh, bias, self.reverse, 64, False
                 )
             else:
                 outputs, (final_c, final_h) = lstm_recurrence(
