@@ -273,6 +273,61 @@ def test_lstm_trainable_gradients_match_scan_autodiff(reverse):
         )
 
 
+@pytest.mark.parametrize("reverse", [False, True])
+def test_gru_trainable_gradients_match_scan_autodiff(reverse):
+    """custom-VJP GRU kernel grads == jax.grad through the scan oracle."""
+    import jax as _jax
+
+    from yt8m_tpu.kernels.gru import gru_recurrence_reference
+    from yt8m_tpu.kernels.gru_train import gru_recurrence_trainable
+
+    rng = np.random.default_rng(9)
+    f, b, h = 6, 8, 128
+    xg = jnp.asarray(
+        rng.normal(0, 0.5, size=(f, b, 2 * h)).astype(np.float32)
+    )
+    xc = jnp.asarray(
+        rng.normal(0, 0.5, size=(f, b, h)).astype(np.float32)
+    )
+    nf = jnp.asarray(np.array([6, 2, 1, 6, 4, 3, 5, 2], np.int32))
+    whg = jnp.asarray(
+        rng.normal(0, 0.1, size=(h, 2 * h)).astype(np.float32)
+    )
+    whc = jnp.asarray(rng.normal(0, 0.1, size=(h, h)).astype(np.float32))
+    bg = jnp.asarray(np.ones((2 * h,), np.float32))
+    bc = jnp.asarray(np.zeros((h,), np.float32))
+    wo = jnp.asarray(rng.normal(size=(f, b, h)).astype(np.float32))
+    wf = jnp.asarray(rng.normal(size=(b, h)).astype(np.float32))
+
+    def loss_kernel(xg, xc, whg, whc, bg, bc):
+        outs, fh = gru_recurrence_trainable(
+            xg, xc, nf, whg, whc, bg, bc, reverse, 128, True
+        )
+        return jnp.sum(outs * wo) + 2.0 * jnp.sum(fh * wf)
+
+    def loss_ref(xg, xc, whg, whc, bg, bc):
+        outs, fh = gru_recurrence_reference(
+            xg, xc, nf, whg, whc, bg, bc, reverse=reverse
+        )
+        return jnp.sum(outs * wo) + 2.0 * jnp.sum(fh * wf)
+
+    args = (xg, xc, whg, whc, bg, bc)
+    val_k, grads_k = _jax.value_and_grad(
+        loss_kernel, argnums=tuple(range(6))
+    )(*args)
+    val_r, grads_r = _jax.value_and_grad(
+        loss_ref, argnums=tuple(range(6))
+    )(*args)
+    assert np.allclose(float(val_k), float(val_r), rtol=2e-2, atol=1e-2)
+    names = ["dxg", "dxc", "dwhg", "dwhc", "dbg", "dbc"]
+    for gk, gr, name in zip(grads_k, grads_r, names):
+        gk, gr = np.asarray(gk), np.asarray(gr)
+        scale = np.abs(gr).max() or 1.0
+        np.testing.assert_allclose(
+            gk / scale, gr / scale, atol=3e-2, err_msg=name
+        )
+
+
 def test_dequant_matches_yt8m_dequantize_semantics():
     """scale/bias = plain YT-8M dequantize -> kernel == dequantize+matmul."""
     from yt8m_tpu.data.quantize import dequantize

@@ -160,9 +160,13 @@ class _GruLayer(nn.Module):
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
         ):
-            # Fused path (kernels/gru.py): batched input projections +
-            # Pallas recurrence with Whg/Whc resident in VMEM.
+            # Fused path: batched input projections + Pallas recurrence
+            # with Whg/Whc resident in VMEM. Training uses the custom-VJP
+            # variant (kernels/gru_train.py).
             from yt8m_tpu.kernels.gru import gru_recurrence
+            from yt8m_tpu.kernels.gru_train import (
+                gru_recurrence_trainable,
+            )
 
             num_frames = jnp.sum(mask[:, :, 0], axis=0).astype(jnp.int32)
             xg = jnp.einsum(
@@ -180,10 +184,16 @@ class _GruLayer(nn.Module):
             if self.reverse:
                 xg = jnp.flip(xg, axis=0)
                 xc = jnp.flip(xc, axis=0)
-            outputs, final_h = gru_recurrence(
-                xg, xc, num_frames, gate_kernel[d:], cand_kernel[d:],
-                gate_bias, cand_bias, reverse=self.reverse,
-            )
+            if train:
+                outputs, final_h = gru_recurrence_trainable(
+                    xg, xc, num_frames, gate_kernel[d:], cand_kernel[d:],
+                    gate_bias, cand_bias, self.reverse, 64, False,
+                )
+            else:
+                outputs, final_h = gru_recurrence(
+                    xg, xc, num_frames, gate_kernel[d:], cand_kernel[d:],
+                    gate_bias, cand_bias, reverse=self.reverse,
+                )
             if self.reverse:
                 outputs = jnp.flip(outputs, axis=0)
             return outputs, (final_h, final_h)
