@@ -23,6 +23,7 @@ CASES = [
     ("DbofModel", True, 512, {"dbof_cluster_size": 8192}),
     ("GatedNetVladModel", True, 256, {"netvlad_cluster_size": 256}),
     ("LstmModel", True, 256, {"lstm_cells": 1024, "lstm_layers": 2}),
+    ("GruModel", True, 256, {"gru_cells": 1024, "gru_layers": 2}),
     ("BiLstmModel", True, 128, {"lstm_cells": 1024, "lstm_layers": 2}),
 ]
 
