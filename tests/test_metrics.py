@@ -137,6 +137,29 @@ def test_perr():
     ) == pytest.approx(0.5)
 
 
+def test_perr_matches_loop_oracle():
+    """Vectorised PERR == the reference's per-row argpartition loop."""
+    rng = np.random.default_rng(11)
+    preds, actuals = _random_batch(rng, 80, 57)
+    # include a zero-label row (contributes 0)
+    actuals[3] = 0
+
+    def loop_perr(predictions, acts):
+        total = 0.0
+        for row in range(acts.shape[0]):
+            k = int(np.sum(acts[row]))
+            if k == 0:
+                continue
+            top = np.argpartition(predictions[row], -k)[-k:]
+            total += float(
+                np.sum(acts[row][top] * (predictions[row][top] > 0))
+            ) / k
+        return total / acts.shape[0]
+
+    got = calculate_precision_at_equal_recall_rate(preds, actuals)
+    assert got == pytest.approx(loop_perr(preds, actuals), abs=1e-12)
+
+
 def test_gap_matches_oracle():
     rng = np.random.default_rng(3)
     preds, actuals = _random_batch(rng, 64, 101)

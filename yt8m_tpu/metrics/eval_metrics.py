@@ -12,9 +12,9 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from yt8m_tpu.metrics.average_precision import AveragePrecisionCalculator
-from yt8m_tpu.metrics.mean_average_precision import (
-    MeanAveragePrecisionCalculator,
+from yt8m_tpu.metrics.average_precision import (
+    AveragePrecisionCalculator,
+    ap_at_n,
 )
 
 
@@ -30,24 +30,41 @@ def calculate_precision_at_equal_recall_rate(
 ) -> float:
     """Mean precision@k where k = per-video number of true labels.
 
-    Matches the reference loop, including its `prediction > 0` guard; videos
-    with zero labels contribute 0 (the reference's behaviour there is
-    degenerate -[-0:] slicing- and real YT-8M videos always have >=1 label).
+    Matches the reference semantics, including its `prediction > 0` guard;
+    videos with zero labels contribute 0 (the reference's behaviour there
+    is degenerate -[-0:] slicing- and real YT-8M videos always have >=1
+    label). Vectorised: one descending sort per batch instead of a Python
+    loop of argpartitions (this was the reference eval's CPU hot loop).
     """
     num_videos = actuals.shape[0]
     if num_videos == 0:
         return 0.0
-    total = 0.0
-    for row in range(num_videos):
-        num_labels = int(np.sum(actuals[row]))
-        if num_labels == 0:
-            continue
-        top_indices = np.argpartition(predictions[row], -num_labels)[
-            -num_labels:
-        ]
-        hit = actuals[row][top_indices] * (predictions[row][top_indices] > 0)
-        total += float(np.sum(hit)) / top_indices.size
-    return total / num_videos
+    k = np.sum(actuals > 0, axis=1).astype(np.int64)  # per-video #labels
+    kmax = max(int(k.max()), 1)
+    rows = np.arange(num_videos)[:, None]
+    # Only the top-kmax entries can matter; avoid sorting all C columns.
+    # (argpartition at the TOP end is ~10x faster than at the bottom in
+    # numpy's introselect, hence -kmax rather than negating.)
+    if kmax < predictions.shape[1]:
+        part = np.argpartition(predictions, -kmax, axis=1)[:, -kmax:]
+    else:
+        part = np.broadcast_to(
+            np.arange(predictions.shape[1]), predictions.shape
+        )
+    part_vals = predictions[rows, part]
+    inner = np.argsort(-part_vals, axis=1)
+    order = part[rows, inner]  # [B, kmax] class ids, descending score
+    ranked_hits = (actuals[rows, order] > 0) & (
+        predictions[rows, order] > 0
+    )
+    csum = np.cumsum(ranked_hits, axis=1)
+    valid = k > 0
+    perr = np.zeros(num_videos, dtype=np.float64)
+    kv = np.clip(k, 1, None)
+    perr[valid] = (
+        csum[np.arange(num_videos), kv - 1][valid] / kv[valid]
+    )
+    return float(np.mean(perr))
 
 
 def top_k_triplets(predictions: np.ndarray, labels: np.ndarray, k: int = 20):
@@ -108,16 +125,27 @@ def calculate_gap(
 
 
 class EvaluationMetrics:
-    """Streaming eval accumulator; mirror of eval_util.EvaluationMetrics."""
+    """Streaming eval accumulator; mirror of eval_util.EvaluationMetrics.
+
+    Implementation differs from the reference (which pushed every sparse
+    prediction through per-class Python heaps — its eval CPU hot loop,
+    SURVEY.md §3.2): batches contribute vectorised top-k chunks, and the
+    per-class grouping for mAP happens once at get() with a single sort.
+    Results are identical (same AP formula, same top-k truncation).
+    """
 
     def __init__(self, num_class: int, top_k: int = 20):
+        self.num_class = num_class
         self.sum_hit_at_one = 0.0
         self.sum_perr = 0.0
         self.sum_loss = 0.0
-        self.map_calculator = MeanAveragePrecisionCalculator(num_class)
         self.global_ap_calculator = AveragePrecisionCalculator()
         self.top_k = top_k
         self.num_examples = 0
+        self._class_chunks = []
+        self._pred_chunks = []
+        self._label_chunks = []
+        self._class_positives = np.zeros(num_class, dtype=np.int64)
 
     def accumulate(
         self,
@@ -144,14 +172,20 @@ class EvaluationMetrics:
         )
         mean_loss = float(np.mean(loss))
 
-        sparse_p, sparse_l, num_pos = top_k_by_class(
-            predictions, labels, self.top_k
-        )
-        self.map_calculator.accumulate(sparse_p, sparse_l, num_pos)
+        k = min(self.top_k, predictions.shape[1])
+        idx = np.argpartition(predictions, -k, axis=1)[:, -k:]
+        rows = np.arange(batch_size)[:, None]
+        preds_k = predictions[rows, idx].ravel()
+        labels_k = labels[rows, idx].ravel()
+        classes_k = idx.ravel().astype(np.int32)
+        num_pos_batch = int(np.sum(labels > 0))
+
+        self._class_chunks.append(classes_k)
+        self._pred_chunks.append(preds_k.astype(np.float64))
+        self._label_chunks.append(labels_k.astype(np.float64))
+        self._class_positives += (labels > 0).sum(axis=0).astype(np.int64)
         self.global_ap_calculator.accumulate(
-            np.asarray(flatten(sparse_p)),
-            np.asarray(flatten(sparse_l)),
-            sum(num_pos),
+            preds_k, labels_k, num_pos_batch
         )
 
         self.num_examples += batch_size
@@ -167,7 +201,30 @@ class EvaluationMetrics:
     def get(self) -> Dict:
         if self.num_examples <= 0:
             raise ValueError("total_sample must be positive.")
-        aps = self.map_calculator.peek_map_at_n()
+        # Group the sparse top-k entries by class with ONE sort.
+        aps = [0.0] * self.num_class
+        if self._class_chunks:
+            classes = np.concatenate(self._class_chunks)
+            preds = np.concatenate(self._pred_chunks)
+            labels = np.concatenate(self._label_chunks)
+            order = np.argsort(classes, kind="stable")
+            classes, preds, labels = (
+                classes[order], preds[order], labels[order]
+            )
+            bounds = np.searchsorted(
+                classes, np.arange(self.num_class + 1)
+            )
+            for c in range(self.num_class):
+                lo, hi = bounds[c], bounds[c + 1]
+                if hi > lo:
+                    aps[c] = ap_at_n(
+                        preds[lo:hi],
+                        labels[lo:hi],
+                        n=None,
+                        total_num_positives=int(
+                            self._class_positives[c]
+                        ),
+                    )
         return {
             "avg_hit_at_one": self.sum_hit_at_one / self.num_examples,
             "avg_perr": self.sum_perr / self.num_examples,
@@ -180,6 +237,9 @@ class EvaluationMetrics:
         self.sum_hit_at_one = 0.0
         self.sum_perr = 0.0
         self.sum_loss = 0.0
-        self.map_calculator.clear()
         self.global_ap_calculator.clear()
         self.num_examples = 0
+        self._class_chunks = []
+        self._pred_chunks = []
+        self._label_chunks = []
+        self._class_positives = np.zeros(self.num_class, dtype=np.int64)
