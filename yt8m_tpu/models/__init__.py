@@ -15,3 +15,5 @@ from yt8m_tpu.models import attention as _attention  # noqa: F401
 from yt8m_tpu.models import chain as _chain  # noqa: F401
 from yt8m_tpu.models import nextvlad as _nextvlad  # noqa: F401
 from yt8m_tpu.models import cnn as _cnn  # noqa: F401
+from yt8m_tpu.models import netfv as _netfv  # noqa: F401
+from yt8m_tpu.models import deep_chain as _deep_chain  # noqa: F401
