@@ -1,0 +1,78 @@
+"""Frame sampling/pooling semantics (reference: model_utils.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from yt8m_tpu.models.frame_utils import (
+    ensure_float,
+    frame_mask,
+    frame_pooling,
+    sample_random_frames,
+    sample_random_sequence,
+)
+
+
+def test_sample_random_frames_stays_in_valid_range():
+    rng = jax.random.PRNGKey(0)
+    b, f, d, s = 8, 30, 4, 64
+    x = jnp.tile(
+        jnp.arange(f, dtype=jnp.float32)[None, :, None], (b, 1, d)
+    )
+    nf = jnp.asarray(np.array([30, 1, 5, 17, 30, 2, 9, 3], np.int32))
+    out = sample_random_frames(rng, x, nf, s)
+    assert out.shape == (b, s, d)
+    sampled_idx = np.asarray(out[:, :, 0]).astype(int)
+    for row, n in enumerate(np.asarray(nf)):
+        assert sampled_idx[row].max() < n  # never samples padding
+        assert sampled_idx[row].min() >= 0
+
+
+def test_sample_random_sequence_contiguous():
+    rng = jax.random.PRNGKey(1)
+    b, f, d, s = 4, 40, 2, 8
+    x = jnp.tile(
+        jnp.arange(f, dtype=jnp.float32)[None, :, None], (b, 1, d)
+    )
+    nf = jnp.asarray(np.array([40, 12, 8, 3], np.int32))
+    out = sample_random_sequence(rng, x, nf, s)
+    idx = np.asarray(out[:, :, 0]).astype(int)
+    for row, n in enumerate(np.asarray(nf)):
+        diffs = np.diff(idx[row])
+        # contiguous until clipped at the last valid frame
+        assert np.all((diffs == 1) | (diffs == 0))
+        assert idx[row].max() <= max(n - 1, 0)
+
+
+def test_frame_pooling_masked():
+    x = jnp.asarray(
+        np.array(
+            [[[1.0], [5.0], [100.0]], [[2.0], [-3.0], [-100.0]]],
+            np.float32,
+        )
+    )
+    mask = jnp.asarray(np.array([[1, 1, 0], [1, 1, 0]], np.float32))
+    np.testing.assert_allclose(
+        np.asarray(frame_pooling(x, "max", mask))[:, 0], [5.0, 2.0]
+    )
+    np.testing.assert_allclose(
+        np.asarray(frame_pooling(x, "average", mask))[:, 0], [3.0, -0.5]
+    )
+
+
+def test_ensure_float_dequantizes_uint8():
+    u8 = jnp.asarray(np.array([0, 128, 255], np.uint8))
+    out = np.asarray(ensure_float(u8))
+    expected = np.array([0, 128, 255]) * (4.0 / 255.0) + (
+        4.0 / 512.0 - 2.0
+    )
+    np.testing.assert_allclose(out, expected, rtol=1e-6, atol=1e-6)
+    f32 = jnp.asarray(np.array([1.5], np.float32))
+    assert ensure_float(f32) is f32  # passthrough, no copy
+
+
+def test_frame_mask():
+    m = np.asarray(frame_mask(jnp.asarray(np.array([0, 2, 5])), 4))
+    np.testing.assert_array_equal(
+        m, [[0, 0, 0, 0], [1, 1, 0, 0], [1, 1, 1, 1]]
+    )

@@ -55,7 +55,7 @@ def sample_random_sequence(rng, model_input, num_frames, num_samples: int):
     u = jax.random.uniform(rng, (b, 1))
     max_start = jnp.maximum(
         num_frames.astype(jnp.float32) - num_samples, 1.0
-    )
+    )[:, None]
     start = jnp.floor(u * max_start).astype(jnp.int32)
     offsets = jnp.arange(num_samples, dtype=jnp.int32)[None, :]
     idx = jnp.clip(
