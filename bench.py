@@ -71,7 +71,9 @@ def main():
         return feats, nf
 
     @jax.jit
-    def forward(feats_u8, num_frames):
+    def forward(variables, feats_u8, num_frames):
+        # Params as an argument: closed-over params embed as HLO constants
+        # and bloat the compile payload (HTTP 413 on constrained relays).
         out = model.apply(
             variables,
             feats_u8,
@@ -84,11 +86,15 @@ def main():
 
     # Warmup / compile.
     feats, nf = make_batch(jax.random.PRNGKey(0))
-    jax.block_until_ready(forward(feats, nf))
+    variables = jax.device_put(variables)
+    # device_get (not block_until_ready): the warmup must fully finish
+    # compiling + executing before the timed region (axon's
+    # block_until_ready can return early).
+    _ = jax.device_get(forward(variables, feats, nf))
 
     steps = 30
     batches = [make_batch(jax.random.PRNGKey(i)) for i in range(4)]
-    jax.block_until_ready(batches)
+    _ = jax.device_get(batches[-1][1])
     # NB: device_get (not block_until_ready) — the experimental axon
     # platform's block_until_ready can return before execution finishes,
     # inflating throughput. device_get forces a real device->host sync.
@@ -96,7 +102,7 @@ def main():
     outs = None
     for i in range(steps):
         feats, nf = batches[i % len(batches)]
-        outs = forward(feats, nf)
+        outs = forward(variables, feats, nf)
     _ = jax.device_get(outs)
     dt = time.perf_counter() - t0
 
