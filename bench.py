@@ -81,7 +81,9 @@ def main():
             train=False,
             rngs={"sample": jax.random.PRNGKey(2)},
         )
-        values, indices = jax.lax.top_k(out["predictions"], 20)
+        values, indices = jax.lax.approx_max_k(
+            out["predictions"], 20, recall_target=1.0
+        )
         return values, indices
 
     # Warmup / compile.

@@ -29,7 +29,9 @@ def _serving_fn(model, variables, top_k: int):
             train=False,
             rngs={"sample": jax.random.PRNGKey(0)},
         )
-        values, indices = jax.lax.top_k(out["predictions"], top_k)
+        values, indices = jax.lax.approx_max_k(
+            out["predictions"], top_k, recall_target=1.0
+        )
         return values, indices.astype(jnp.int32)
 
     return serve
