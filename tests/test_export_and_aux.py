@@ -91,6 +91,49 @@ def test_average_checkpoint_weights(tmp_path):
     )
 
 
+def test_trainer_periodic_export(tmp_path):
+    """--export_model_steps parity: serving exports written during training."""
+    from yt8m_tpu.config import TrainConfig
+    from yt8m_tpu.data.synthetic import write_dataset
+    from yt8m_tpu.infer.export import load_serving
+    from yt8m_tpu.train.loop import Trainer
+
+    data = str(tmp_path / "data")
+    write_dataset(
+        data, "train", num_shards=1, videos_per_shard=16,
+        frame_level=False, num_classes=C, seed=5, rgb_dim=D - 4,
+        audio_dim=4,
+    )
+    train_dir = str(tmp_path / "run")
+    Trainer(
+        TrainConfig(
+            train_data_pattern=os.path.join(data, "train-*.tfrecord"),
+            feature_names="mean_rgb,mean_audio",
+            feature_sizes=f"{D-4},4",
+            num_classes=C,
+            batch_size=8,
+            num_epochs=20,
+            max_steps=10,
+            model="MoeModel",
+            train_dir=train_dir,
+            save_checkpoint_every_n_steps=10,
+            export_model_steps=5,
+            log_every_n_steps=100,
+            hparams=HP,
+        )
+    ).run()
+    export_dir = os.path.join(train_dir, "export", "step_10")
+    assert os.path.isdir(export_dir)
+    serve, meta = load_serving(export_dir)
+    assert meta["model"] == "MoeModel"
+    rng = np.random.default_rng(0)
+    v, i = serve(
+        rng.normal(size=(8, D)).astype(np.float32),
+        np.ones((8,), np.int32),
+    )
+    assert np.asarray(v).shape == (8, min(20, C))  # top-k clamped to vocab
+
+
 def test_summary_writer(tmp_path):
     from yt8m_tpu.utils.summary import SummaryWriter
 

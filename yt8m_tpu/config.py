@@ -44,6 +44,8 @@ class TrainConfig:
     train_dir: str = "/tmp/yt8m_model/"
     start_new_model: bool = False
     save_checkpoint_every_n_steps: int = 1000
+    # reference train.py exported a serving graph every N steps (0 = off)
+    export_model_steps: int = 0
     max_checkpoints_to_keep: int = 5
     log_every_n_steps: int = 10
     seed: int = 0

@@ -20,7 +20,9 @@ import orbax.checkpoint as ocp
 from yt8m_tpu.models import ModelHParams, get_model, is_frame_level_model
 
 
-def _serving_fn(model, variables, top_k: int):
+def _serving_fn(model, variables, top_k: int, vocab_size: int):
+    top_k = min(top_k, vocab_size)
+
     def serve(features, num_frames):
         out = model.apply(
             variables,
@@ -57,7 +59,7 @@ def export_model(
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
-    serve = _serving_fn(model, variables, top_k)
+    serve = _serving_fn(model, variables, top_k, hparams.vocab_size)
 
     frame_level = is_frame_level_model(model_name)
     if frame_level:
@@ -86,7 +88,7 @@ def export_model(
         json.dump(
             {
                 "model": model_name,
-                "top_k": top_k,
+                "top_k": min(top_k, hparams.vocab_size),
                 "frame_level": frame_level,
                 "batch_size": batch_size or 8,
                 "max_frames": hparams.max_frames,

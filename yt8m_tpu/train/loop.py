@@ -134,6 +134,28 @@ class Trainer:
         )
         return jax.device_put(state, shardings)
 
+    def _export_serving(self, step: int, state) -> None:
+        """Periodic serving export (reference: export_model.py called from
+        the train loop every --export_model_steps)."""
+        import os
+
+        from yt8m_tpu.infer.export import export_model
+
+        export_dir = os.path.join(
+            self.config.train_dir, "export", f"step_{step}"
+        )
+        try:
+            export_model(
+                export_dir,
+                self.config.model,
+                self.hparams,
+                jax.device_get(state.params),
+                batch_stats=jax.device_get(state.batch_stats),
+            )
+            log.info("exported serving model to %s", export_dir)
+        except Exception:  # export must never kill training
+            log.exception("serving export failed at step %d", step)
+
     # -- loop ---------------------------------------------------------------
 
     def run(self) -> int:
@@ -195,6 +217,12 @@ class Trainer:
                 examples_since_log = 0
 
             self.ckpt.save(step, state)
+
+            if (
+                cfg.export_model_steps
+                and step % cfg.export_model_steps == 0
+            ):
+                self._export_serving(step, state)
 
         if state is not None:
             self.ckpt.force_save(step, state)

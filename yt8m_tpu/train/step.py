@@ -162,8 +162,9 @@ def make_topk_predict_step(model, top_k: int = 20):
         )
         # approx_max_k(recall_target=1.0) is exact and faster than
         # lax.top_k on TPU (verified value/index-set equality on-chip).
+        k = min(top_k, out["predictions"].shape[-1])
         values, indices = jax.lax.approx_max_k(
-            out["predictions"], top_k, recall_target=1.0
+            out["predictions"], k, recall_target=1.0
         )
         return values, indices.astype(jnp.int32)
 
