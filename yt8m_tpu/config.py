@@ -84,6 +84,7 @@ class EvalConfig:
     optimizer: str = "AdamOptimizer"  # must match training (restore tree)
     train_dir: str = "/tmp/yt8m_model/"
     run_once: bool = True
+    num_readers: int = 1
     top_k: int = 20
     checkpoint_step: Optional[int] = None
     seed: int = 0
@@ -110,6 +111,7 @@ class InferenceConfig:
     output_file: str = ""
     top_k: int = 20
     checkpoint_step: Optional[int] = None
+    num_readers: int = 1
     # pre-ensemble dump of dense probabilities (fork inference-pre-ensemble)
     output_probabilities_dir: str = ""
     seed: int = 0

@@ -46,6 +46,7 @@ def evaluate_checkpoint(
         cfg.eval_data_pattern,
         rc,
         batch_size=cfg.batch_size,
+        num_readers=cfg.num_readers,
         shuffle=False,
         num_epochs=1,
         pad_final_batch=True,

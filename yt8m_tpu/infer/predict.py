@@ -57,6 +57,7 @@ def inference(config: InferenceConfig, state=None) -> dict:
         cfg.input_data_pattern,
         rc,
         batch_size=cfg.batch_size,
+        num_readers=cfg.num_readers,
         shuffle=False,
         num_epochs=1,
         pad_final_batch=True,
