@@ -23,6 +23,24 @@ class TrainState(train_state.TrainState):
     batch_stats: Any = flax.core.FrozenDict()
 
 
+def clip_gradient_norms(max_norm: float) -> optax.GradientTransformation:
+    """PER-VARIABLE norm clipping (reference: utils.py ::
+    clip_gradient_norms applies tf.clip_by_norm to each gradient
+    individually — NOT a global-norm clip)."""
+
+    def update_fn(updates, state, params=None):
+        del params
+
+        def clip_leaf(g):
+            norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+            scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
+            return (g * scale).astype(g.dtype)
+
+        return jax.tree_util.tree_map(clip_leaf, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
+
+
 def make_lr_schedule(
     base_learning_rate: float,
     learning_rate_decay: float,
@@ -65,7 +83,7 @@ def make_optimizer(
         )
     tx = opts[optimizer]()
     if clip_gradient_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(clip_gradient_norm), tx)
+        tx = optax.chain(clip_gradient_norms(clip_gradient_norm), tx)
     return tx
 
 
