@@ -49,3 +49,37 @@ def test_distill_mix():
 def test_unknown_loss():
     with pytest.raises(ValueError):
         get_loss("NopeLoss")
+
+
+def test_clip_gradient_norms_per_variable():
+    """Reference utils.clip_gradient_norms semantics: each gradient is
+    clipped to max_norm INDIVIDUALLY (not by global norm)."""
+    import jax.numpy as jnp
+
+    from yt8m_tpu.train.state import clip_gradient_norms
+
+    tx = clip_gradient_norms(1.0)
+    state = tx.init(None)
+    grads = {
+        "big": jnp.asarray(np.array([3.0, 4.0], np.float32)),
+        "small": jnp.asarray(np.array([0.1, 0.2], np.float32)),
+    }
+    out, _ = tx.update(grads, state)
+    assert float(jnp.linalg.norm(out["big"])) == pytest.approx(1.0, rel=1e-5)
+    np.testing.assert_allclose(np.asarray(out["small"]), [0.1, 0.2])
+
+
+def test_lr_schedule_staircase():
+    """exponential_decay staircased on examples seen (reference train.py)."""
+    from yt8m_tpu.train.state import make_lr_schedule
+
+    sched = make_lr_schedule(
+        base_learning_rate=0.01,
+        learning_rate_decay=0.5,
+        learning_rate_decay_examples=1000,
+        global_batch_size=100,
+    )
+    assert float(sched(0)) == pytest.approx(0.01)
+    assert float(sched(9)) == pytest.approx(0.01)   # < 1000 examples
+    assert float(sched(10)) == pytest.approx(0.005)  # staircase step
+    assert float(sched(20)) == pytest.approx(0.0025)

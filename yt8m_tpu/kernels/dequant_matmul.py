@@ -12,9 +12,11 @@ VMEM, applies the affine on the VPU, and feeds the MXU directly — at
 batch 2048 x 300 frames that saves ~2.6 GB of HBM round trip per step
 vs materialising the float input.
 
-Used by DBoF's cluster layer and NetVLAD's assignment matmul on the
-inference path; the jnp path remains the autodiff/训练 oracle and the CPU
-fallback (kernel==jnp equivalence tested in tests/test_kernels.py).
+Library op for uint8-input dense layers (the integrated NetVLAD/attention
+kernels perform their own in-register dequantize; DBoF's sampled-frame
+path dequantizes only 30/300 frames, where XLA's fusion already avoids
+the HBM round trip). kernel==jnp equivalence tested in
+tests/test_kernels.py.
 """
 
 from __future__ import annotations
