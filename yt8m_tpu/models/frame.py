@@ -47,8 +47,7 @@ class FrameLevelLogisticModel(nn.Module):
         )(pooled)
 
 
-@register("DbofModel", frame_level=True)
-class DbofModel(nn.Module):
+class _DbofBase(nn.Module):
     """Deep Bag-of-Frames.
 
     Reference: frame_level_models.py :: DbofModel.create_model —
@@ -64,6 +63,8 @@ class DbofModel(nn.Module):
     """
 
     hp: ModelHParams
+    pooling_override: str = ""  # "" = hp.dbof_pooling_method
+    gated: bool = False
 
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
@@ -119,7 +120,14 @@ class DbofModel(nn.Module):
         act = nn.relu(act)
 
         act = act.reshape(b, s, hp.dbof_cluster_size)
-        pooled = frame_pooling(act, hp.dbof_pooling_method)
+        method = self.pooling_override or hp.dbof_pooling_method
+        if method == "soft":
+            # SoftDBoF (WILLOW-era variant): sum of per-frame activations
+            # normalised by a softmax over the cluster axis.
+            soft = nn.softmax(act, axis=-1)
+            pooled = jnp.sum(soft, axis=1)
+        else:
+            pooled = frame_pooling(act, method)
 
         hidden_kernel = self.param(
             "hidden_kernel",
@@ -150,8 +158,38 @@ class DbofModel(nn.Module):
             hidden = hidden + hbias
         hidden = nn.relu(hidden)
 
+        if self.gated:
+            from yt8m_tpu.models.heads import ContextGate
+
+            hidden = ContextGate(
+                add_batch_norm=hp.dbof_add_batch_norm,
+                dtype=hp.dtype,
+                name="context_gate",
+            )(hidden, train=train)
+
         out = make_classifier_head(hp)(hidden)
         out["regularization_loss"] = out.get(
             "regularization_loss", 0.0
         ) + hp.l2_penalty * l2_loss(cluster_kernel, hidden_kernel)
         return out
+
+
+@register("DbofModel", frame_level=True)
+class DbofModel(_DbofBase):
+    pooling_override: str = ""
+    gated: bool = False
+
+
+@register("GatedDbofModel", frame_level=True)
+class GatedDbofModel(_DbofBase):
+    """DBoF with a context gate on the hidden representation
+    (WILLOW/monkeytyping-era gated-DBoF variant)."""
+
+    gated: bool = True
+
+
+@register("SoftDbofModel", frame_level=True)
+class SoftDbofModel(_DbofBase):
+    """DBoF with softmax-normalised (soft-count) pooling."""
+
+    pooling_override: str = "soft"
