@@ -86,3 +86,49 @@ def test_tp_policy_shards_head_kernels():
     sh = mesh_lib.tree_param_shardings(state.params, mesh)
     gates_spec = sh["tower"]["gates_kernel"].spec
     assert gates_spec == jax.sharding.PartitionSpec(None, "model")
+
+
+def test_fsdp_matches_replicated():
+    """FSDP-sharded params/opt-state must train identically to replicated
+    (GSPMD all-gather on use, reduce-scatter grads)."""
+    losses_rep, params_rep = _run_steps(mesh_lib.make_mesh(8))
+
+    hp = ModelHParams(
+        vocab_size=C, feature_dim=D, compute_dtype="float32",
+        moe_num_mixtures=2,
+    )
+    model = get_model("MoeModel", hp)
+    tx = make_optimizer(global_batch_size=16, base_learning_rate=0.05)
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), _batch(), tx, frame_level=False
+    )
+    mesh = mesh_lib.make_mesh(8)
+    param_sh = mesh_lib.tree_param_shardings(
+        state.params, mesh, fsdp_min_size=64
+    )
+    # the big head kernels must actually be FSDP-sharded over 'data'
+    assert param_sh["tower"]["gates_kernel"].spec == (
+        jax.sharding.PartitionSpec("data", None)
+    )
+    shardings = jax.tree_util.tree_map(
+        lambda _: mesh_lib.replicated(mesh), state
+    )
+    shardings = shardings.replace(
+        params=param_sh,
+        opt_state=mesh_lib.tree_param_shardings(
+            state.opt_state, mesh, fsdp_min_size=64
+        ),
+    )
+    state = jax.device_put(state, shardings)
+    step_fn = make_train_step(model, get_loss("CrossEntropyLoss"))
+    losses = []
+    for i in range(3):
+        batch = mesh_lib.shard_batch(_batch(seed=i), mesh)
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(42))
+        losses.append(float(jax.device_get(metrics["loss"])))
+    np.testing.assert_allclose(losses_rep, losses, rtol=1e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6),
+        params_rep,
+        jax.device_get(state.params),
+    )

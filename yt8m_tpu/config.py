@@ -56,6 +56,9 @@ class TrainConfig:
 
     # parallelism
     model_parallel: int = 1
+    # FSDP: shard params (and Adam state) with >= this many elements over
+    # the data axis; 0 = replicate everything (reference-equivalent)
+    fsdp_min_size: int = 0
     num_devices: Optional[int] = None
 
     # profiling

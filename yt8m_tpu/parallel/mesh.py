@@ -58,14 +58,32 @@ _TP_SHARDABLE_SUFFIXES = (
 )
 
 
-def param_spec(path: str, value, mesh: Mesh) -> P:
-    """PartitionSpec for one parameter given its flattened path."""
+def param_spec(
+    path: str, value, mesh: Mesh, fsdp_min_size: int = 0
+) -> P:
+    """PartitionSpec for one parameter given its flattened path.
+
+    Policy: TP-shardable head kernels shard their LAST dim over 'model';
+    otherwise, when fsdp_min_size > 0, any parameter with at least that
+    many elements shards dim 0 over 'data' (FSDP-style — parameters AND
+    their Adam state live sharded; GSPMD inserts the all-gather on use
+    and reduce-scatters the gradients). Small params stay replicated.
+    """
     if mesh.shape[MODEL_AXIS] > 1:
         leaf = path.split("/")[-1]
         if leaf in _TP_SHARDABLE_SUFFIXES and value.ndim >= 1:
             if value.shape[-1] % mesh.shape[MODEL_AXIS] == 0:
                 spec = [None] * (value.ndim - 1) + [MODEL_AXIS]
                 return P(*spec)
+    if (
+        fsdp_min_size
+        and mesh.shape[DATA_AXIS] > 1
+        and value.ndim >= 1
+        and value.size >= fsdp_min_size
+        and value.shape[0] % mesh.shape[DATA_AXIS] == 0
+    ):
+        spec = [DATA_AXIS] + [None] * (value.ndim - 1)
+        return P(*spec)
     return P()
 
 
@@ -81,10 +99,12 @@ def _flat_path(key_path) -> str:
     return "/".join(parts)
 
 
-def tree_param_shardings(tree, mesh: Mesh):
-    """Map a pytree of arrays to NamedShardings per the TP policy."""
+def tree_param_shardings(tree, mesh: Mesh, fsdp_min_size: int = 0):
+    """Map a pytree of arrays to NamedShardings per the TP/FSDP policy."""
     return jax.tree_util.tree_map_with_path(
-        lambda kp, v: NamedSharding(mesh, param_spec(_flat_path(kp), v, mesh)),
+        lambda kp, v: NamedSharding(
+            mesh, param_spec(_flat_path(kp), v, mesh, fsdp_min_size)
+        ),
         tree,
     )
 

@@ -129,9 +129,20 @@ class Trainer:
         shardings = jax.tree_util.tree_map(
             lambda _: mesh_lib.replicated(self.mesh), state
         )
-        shardings = shardings.replace(
-            params=mesh_lib.tree_param_shardings(state.params, self.mesh)
+        param_sh = mesh_lib.tree_param_shardings(
+            state.params, self.mesh, fsdp_min_size=cfg.fsdp_min_size
         )
+        shardings = shardings.replace(params=param_sh)
+        if cfg.fsdp_min_size:
+            # Optimizer moments mirror the param tree (same leaf names),
+            # so the same path-based policy shards them identically —
+            # FSDP shards params AND Adam state; scalars stay replicated.
+            shardings = shardings.replace(
+                opt_state=mesh_lib.tree_param_shardings(
+                    state.opt_state, self.mesh,
+                    fsdp_min_size=cfg.fsdp_min_size,
+                )
+            )
         return jax.device_put(state, shardings)
 
     def _export_serving(self, step: int, state) -> None:
