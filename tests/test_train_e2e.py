@@ -114,3 +114,42 @@ def test_resume_from_checkpoint(dataset, tmp_path):
     t2 = Trainer(_train_cfg(dataset, train_dir, max_steps=45))
     final = t2.run()
     assert final == 45
+
+
+def test_training_is_deterministic(dataset, tmp_path):
+    """Same seed + data => bitwise-identical final params (stateless PRNG
+    sampling keyed by step; SURVEY.md §7 hard part 5)."""
+    import jax
+    import numpy as np
+
+    from yt8m_tpu.train.checkpoint import CheckpointManager
+    from yt8m_tpu.train.state import init_train_state, make_optimizer
+    from yt8m_tpu.models import get_model
+
+    params = []
+    for run in range(2):
+        train_dir = str(tmp_path / f"det{run}")
+        Trainer(_train_cfg(dataset, train_dir, max_steps=10,
+                           save_checkpoint_every_n_steps=10)).run()
+        cfg = _train_cfg(dataset, train_dir)
+        hp = cfg.resolved_hparams()
+        model = get_model(cfg.model, hp)
+        state = init_train_state(
+            model,
+            jax.random.PRNGKey(cfg.seed),
+            {
+                "features": np.zeros((2, 40), np.float32),
+                "num_frames": np.ones((2,), np.int32),
+            },
+            make_optimizer(global_batch_size=cfg.batch_size),
+            frame_level=False,
+        )
+        ckpt = CheckpointManager(train_dir)
+        state = ckpt.restore(state, 10)
+        ckpt.close()
+        params.append(jax.device_get(state.params))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(a, b),
+        params[0],
+        params[1],
+    )
