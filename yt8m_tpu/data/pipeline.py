@@ -324,7 +324,9 @@ class MultiprocessBatchIterator:
     def __iter__(self):
         import multiprocessing as mp
 
-        ctx = mp.get_context("fork")
+        # spawn (not fork): workers only need numpy + the ctypes parser,
+        # and forking a process with an initialised TPU client is unsafe.
+        ctx = mp.get_context("spawn")
         q = ctx.Queue(maxsize=self.queue_depth * self.num_workers)
         procs = []
         for w in range(self.num_workers):
