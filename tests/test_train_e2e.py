@@ -153,3 +153,15 @@ def test_training_is_deterministic(dataset, tmp_path):
         params[0],
         params[1],
     )
+
+
+def test_trainer_with_multiprocess_readers(dataset, tmp_path):
+    """--num_readers > 1: spawn-based parser fan-out feeds the Trainer."""
+    train_dir = str(tmp_path / "mp_readers")
+    cfg = _train_cfg(
+        dataset, train_dir, max_steps=6, num_epochs=5,
+        save_checkpoint_every_n_steps=6, log_every_n_steps=100,
+    )
+    cfg.num_readers = 2
+    final = Trainer(cfg).run()
+    assert final == 6
