@@ -1,10 +1,14 @@
 """Pallas TPU kernels for the hot aggregation ops (BASELINE.json
 north_star). Each kernel ships with a jnp oracle and interpret-mode
-equivalence tests; models dispatch to them on the inference path only
-(training keeps the autodiff-able jnp graphs).
+equivalence tests. Inference models dispatch to the residual-free
+kernels; LSTM/GRU training dispatches to the custom-VJP trainable
+variants (kernels/lstm_train.py, kernels/gru_train.py).
 
 Set YT8M_DISABLE_PALLAS=1 to force the jnp paths everywhere (e.g. when a
 constrained remote-compile relay rejects Mosaic payloads).
+Set YT8M_PALLAS_INTERPRET=1 to route the models' fused-kernel dispatch
+through Pallas interpret mode on any backend — model-level tests use
+this to exercise the real kernel paths on CPU.
 """
 
 import os
@@ -12,3 +16,7 @@ import os
 
 def kernels_enabled() -> bool:
     return os.environ.get("YT8M_DISABLE_PALLAS", "0") != "1"
+
+
+def pallas_interpret_forced() -> bool:
+    return os.environ.get("YT8M_PALLAS_INTERPRET", "0") == "1"

@@ -53,13 +53,17 @@ class _LstmLayer(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (4 * h,), jnp.float32)
 
-        from yt8m_tpu.kernels import kernels_enabled
+        from yt8m_tpu.kernels import (
+            kernels_enabled,
+            pallas_interpret_forced,
+        )
 
+        interpret = pallas_interpret_forced()
         if (
             self.use_pallas
             and kernels_enabled()
             and not self.is_initializing()
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or interpret)
         ):
             # Fused path: batched input projection + Pallas recurrence
             # with W_h resident in VMEM. Training uses the custom-VJP
@@ -85,11 +89,12 @@ class _LstmLayer(nn.Module):
                 # tb=64: the residual-streaming forward carries extra
                 # VMEM output blocks (gates + cell states).
                 outputs, (final_c, final_h) = lstm_recurrence_trainable(
-                    xp, num_frames, whh, bias, self.reverse, 64, False
+                    xp, num_frames, whh, bias, self.reverse, 64, interpret
                 )
             else:
                 outputs, (final_c, final_h) = lstm_recurrence(
-                    xp, num_frames, whh, bias, reverse=self.reverse
+                    xp, num_frames, whh, bias, reverse=self.reverse,
+                    interpret=interpret,
                 )
             if self.reverse:
                 outputs = jnp.flip(outputs, axis=0)
@@ -151,14 +156,17 @@ class _GruLayer(nn.Module):
             "candidate_bias", nn.initializers.zeros, (h,), jnp.float32
         )
 
-        from yt8m_tpu.kernels import kernels_enabled
+        from yt8m_tpu.kernels import (
+            kernels_enabled,
+            pallas_interpret_forced,
+        )
 
+        interpret = pallas_interpret_forced()
         if (
-            not train
-            and self.use_pallas
+            self.use_pallas
             and kernels_enabled()
             and not self.is_initializing()
-            and jax.default_backend() == "tpu"
+            and (jax.default_backend() == "tpu" or interpret)
         ):
             # Fused path: batched input projections + Pallas recurrence
             # with Whg/Whc resident in VMEM. Training uses the custom-VJP
@@ -187,12 +195,13 @@ class _GruLayer(nn.Module):
             if train:
                 outputs, final_h = gru_recurrence_trainable(
                     xg, xc, num_frames, gate_kernel[d:], cand_kernel[d:],
-                    gate_bias, cand_bias, self.reverse, 64, False,
+                    gate_bias, cand_bias, self.reverse, 64, interpret,
                 )
             else:
                 outputs, final_h = gru_recurrence(
                     xg, xc, num_frames, gate_kernel[d:], cand_kernel[d:],
                     gate_bias, cand_bias, reverse=self.reverse,
+                    interpret=interpret,
                 )
             if self.reverse:
                 outputs = jnp.flip(outputs, axis=0)
