@@ -4,6 +4,7 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from yt8m_tpu.models import ModelHParams, get_model
@@ -168,3 +169,61 @@ def test_convert_json_to_csv(tmp_path):
     lines = open(out).read().splitlines()
     assert lines[0] == "VideoId,LabelConfidencePairs"
     assert lines[1] == "vidX,1 0.9 3 0.5"
+
+
+def test_polymorphic_batch_export_serves_two_batch_sizes(tmp_path):
+    """batch_size=0 exports a symbolic batch dim; one artifact must serve
+    different batch sizes (was a false docstring claim in r1)."""
+    import jax
+    from yt8m_tpu.infer.export import export_model, load_serving
+
+    model, variables = _make_variables()
+    export_dir = str(tmp_path / "export_poly")
+    export_model(
+        export_dir, "MoeModel", HP, variables["params"],
+        batch_size=0, top_k=5,
+    )
+    serve, meta = load_serving(export_dir)
+    assert meta["batch_size"] == 0
+    rng = np.random.default_rng(2)
+    for b in (3, 16):
+        feats = rng.normal(size=(b, D)).astype(np.float32)
+        values, indices = serve(feats, np.ones((b,), np.int32))
+        assert np.asarray(values).shape == (b, 5)
+        # parity with direct apply at this batch size
+        direct = model.apply(
+            variables, jnp.asarray(feats), jnp.ones((b,), jnp.int32),
+            train=False, rngs={"sample": jax.random.PRNGKey(0)},
+        )["predictions"]
+        top_direct = np.sort(np.asarray(direct), axis=1)[:, ::-1][:, :5]
+        np.testing.assert_allclose(
+            np.sort(np.asarray(values), axis=1)[:, ::-1],
+            top_direct, rtol=1e-5, atol=1e-6,
+        )
+
+
+def test_polymorphic_frame_level_export(tmp_path):
+    """Frame-level model (uint8 features + sampling) under a symbolic
+    batch dim."""
+    from yt8m_tpu.infer.export import export_model, load_serving
+    from yt8m_tpu.models import get_model
+
+    hp = HP.replace(max_frames=8)
+    model = get_model("FrameLevelLogisticModel", hp)
+    rng = np.random.default_rng(3)
+    feats = rng.integers(0, 256, size=(2, 8, D), dtype=np.uint8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(feats), np.full((2,), 8, np.int32), train=False,
+    )
+    export_dir = str(tmp_path / "export_frame_poly")
+    export_model(
+        export_dir, "FrameLevelLogisticModel", hp, variables["params"],
+        batch_size=0, top_k=4,
+    )
+    serve, meta = load_serving(export_dir)
+    for b in (2, 7):
+        f = rng.integers(0, 256, size=(b, 8, D), dtype=np.uint8)
+        nf = rng.integers(1, 9, size=(b,)).astype(np.int32)
+        values, indices = serve(f, nf)
+        assert np.asarray(values).shape == (b, 4)

@@ -76,3 +76,31 @@ def test_frame_mask():
     np.testing.assert_array_equal(
         m, [[0, 0, 0, 0], [1, 1, 0, 0], [1, 1, 1, 1]]
     )
+
+
+def test_sample_random_sequence_reaches_last_window():
+    """start must be uniform over {0, .., num_frames - num_samples}
+    INCLUDING the final window (ADVICE r1: the old scale of
+    max(nf - s, 1) never selected it)."""
+    import jax
+
+    nf_val, s = 31, 30
+    x = jnp.arange(40, dtype=jnp.float32)[None, :, None] * jnp.ones((1, 1, 2))
+    nf = jnp.array([nf_val], dtype=jnp.int32)
+    starts = set()
+    for seed in range(64):
+        out = sample_random_sequence(jax.random.PRNGKey(seed), x, nf, s)
+        starts.add(int(out[0, 0, 0]))
+    # both windows {0, 1} must be reachable
+    assert starts == {0, 1}, starts
+
+
+def test_sample_random_sequence_short_video_repeats_last_frame():
+    import jax
+
+    x = jnp.arange(10, dtype=jnp.float32)[None, :, None]
+    nf = jnp.array([3], dtype=jnp.int32)
+    out = sample_random_sequence(jax.random.PRNGKey(0), x, nf, 6)
+    vals = np.asarray(out[0, :, 0])
+    assert vals[0] == 0.0 and np.all(vals <= 2.0)
+    assert vals[-1] == 2.0  # clipped to the last real frame

@@ -83,3 +83,45 @@ def test_lr_schedule_staircase():
     assert float(sched(9)) == pytest.approx(0.01)   # < 1000 examples
     assert float(sched(10)) == pytest.approx(0.005)  # staircase step
     assert float(sched(20)) == pytest.approx(0.0025)
+
+
+def test_distill_alpha_extremes():
+    """alpha=1.0 reproduces plain CE; alpha=0.0 trains on teacher only."""
+    teacher = np.array(
+        [[0.8, 0.2, 0.6], [0.1, 0.9, 0.05]], dtype=np.float32
+    )
+    ce = get_loss("CrossEntropyLoss")
+    hard = np.asarray(ce.calculate_loss(P, Y))
+    soft = np.asarray(ce.calculate_loss(P, teacher))
+    got1 = np.asarray(
+        get_loss("MixedCrossEntropyDistillLoss", alpha=1.0)
+        .calculate_loss(P, Y, teacher=teacher)
+    )
+    got0 = np.asarray(
+        get_loss("MixedCrossEntropyDistillLoss", alpha=0.0)
+        .calculate_loss(P, Y, teacher=teacher)
+    )
+    np.testing.assert_allclose(got1, hard, rtol=1e-6)
+    np.testing.assert_allclose(got0, soft, rtol=1e-6)
+
+
+def test_trainer_wires_distill_alpha():
+    """--distill_alpha must reach the loss object (was a dead flag in r1)."""
+    from yt8m_tpu.config import TrainConfig
+    from yt8m_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(
+        train_data_pattern="unused",
+        label_loss="MixedCrossEntropyDistillLoss",
+        distill_alpha=0.9,
+        frame_features=False,
+        model="LogisticModel",
+        num_classes=8,
+        batch_size=4,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        cfg.train_dir = d
+        trainer = Trainer(cfg, data_iterator=iter(()))
+        assert trainer.loss_obj.alpha == 0.9

@@ -223,3 +223,51 @@ def test_map_per_class():
             n=None, total_num_positives=int(np.sum(actuals[:, c] > 0)),
         )
         assert aps[c] == pytest.approx(ref, abs=1e-12)
+
+
+def test_ap_matches_oracle_with_ties():
+    """Exact tie-break parity: f16-quantized scores create exact ties;
+    AP must still equal the reference formula bit-for-bit."""
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        # Heavy ties: quantize to f16 AND draw from a tiny value set.
+        preds = rng.random(300).astype(np.float16).astype(np.float64)
+        preds[rng.random(300) < 0.3] = 0.5
+        acts = (rng.random(300) < 0.2).astype(np.float64)
+        for n in (None, 20, 50):
+            ours = ap_at_n(preds, acts, n=n)
+            ref = oracle_ap(preds, acts, n=n)
+            assert ours == pytest.approx(ref, abs=1e-12), (trial, n)
+
+
+def oracle_gap_by_class(predictions, actuals, top_k=20):
+    """Literal reference flow: per-video top-k triplets (argpartition
+    order), grouped into per-class lists, flattened BY CLASS into one
+    global AP. Pool order matters under ties (the fixed tie-break
+    permutation acts on the pooled sequence)."""
+    b, c = predictions.shape
+    k = min(top_k, c)
+    triplets = []
+    for v in range(b):
+        idx = np.argpartition(predictions[v], -k)[-k:]
+        triplets.extend(
+            (int(i), predictions[v, i], actuals[v, i]) for i in idx
+        )
+    out_p = [[] for _ in range(c)]
+    out_a = [[] for _ in range(c)]
+    for cls, p, a in triplets:
+        out_p[cls].append(p)
+        out_a[cls].append(a)
+    total_pos = int(np.sum(actuals > 0))
+    flat_p = np.array([x for lst in out_p for x in lst])
+    flat_a = np.array([x for lst in out_a for x in lst])
+    return oracle_ap(flat_p, flat_a, n=None, total_num_positives=total_pos)
+
+
+def test_gap_matches_oracle_with_tied_scores():
+    rng = np.random.default_rng(8)
+    preds = (rng.random((40, 30)) * 8).round() / 8  # many exact ties
+    acts = (rng.random((40, 30)) < 0.15).astype(np.float64)
+    assert calculate_gap(preds, acts) == pytest.approx(
+        oracle_gap_by_class(preds, acts), abs=1e-12
+    )

@@ -25,7 +25,9 @@ from yt8m_tpu.metrics import calculate_gap
 
 
 def main(argv=None):
-    logging.basicConfig(level=logging.INFO)
+    # force=True: jax/absl already installed a root handler at import
+    # time, which would silently swallow the reference log lines.
+    logging.basicConfig(level=logging.INFO, force=True)
     p = argparse.ArgumentParser()
     p.add_argument("--member_dirs", required=True,
                    help="comma-separated prediction dump dirs")

@@ -12,8 +12,11 @@ from yt8m_tpu.utils.flags import parse_into
 
 
 def main(argv=None):
+    # force=True: jax/absl already installed a root handler at import
+    # time, which would silently swallow the reference log lines.
     logging.basicConfig(
         level=logging.INFO,
+        force=True,
         format="%(asctime)s %(name)s %(levelname)s: %(message)s",
     )
     from yt8m_tpu.parallel.distributed import maybe_initialize

@@ -67,9 +67,18 @@ class TrainConfig:
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
 
     def resolved_hparams(self) -> ModelHParams:
+        # feature_dim follows --feature_sizes (models take it from the
+        # input at trace time, but export/serving builds example inputs
+        # from hparams — they must agree).
+        from yt8m_tpu.data.features import get_feature_names_and_sizes
+
+        _, sizes = get_feature_names_and_sizes(
+            self.feature_names, self.feature_sizes
+        )
         return self.hparams.replace(
             vocab_size=self.num_classes,
             max_frames=self.max_frames,
+            feature_dim=sum(sizes),
         )
 
 
@@ -94,8 +103,18 @@ class EvalConfig:
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
 
     def resolved_hparams(self) -> ModelHParams:
+        # feature_dim follows --feature_sizes (models take it from the
+        # input at trace time, but export/serving builds example inputs
+        # from hparams — they must agree).
+        from yt8m_tpu.data.features import get_feature_names_and_sizes
+
+        _, sizes = get_feature_names_and_sizes(
+            self.feature_names, self.feature_sizes
+        )
         return self.hparams.replace(
-            vocab_size=self.num_classes, max_frames=self.max_frames
+            vocab_size=self.num_classes,
+            max_frames=self.max_frames,
+            feature_dim=sum(sizes),
         )
 
 
@@ -117,10 +136,24 @@ class InferenceConfig:
     num_readers: int = 1
     # pre-ensemble dump of dense probabilities (fork inference-pre-ensemble)
     output_probabilities_dir: str = ""
+    # Dtype for pre-ensemble dense probability dumps. float32 by default:
+    # f16 quantization creates exact ties / 3-decimal resolution in the
+    # files used for GAP weight-fitting (0.1%-parity north star).
+    output_probabilities_dtype: str = "float32"
     seed: int = 0
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
 
     def resolved_hparams(self) -> ModelHParams:
+        # feature_dim follows --feature_sizes (models take it from the
+        # input at trace time, but export/serving builds example inputs
+        # from hparams — they must agree).
+        from yt8m_tpu.data.features import get_feature_names_and_sizes
+
+        _, sizes = get_feature_names_and_sizes(
+            self.feature_names, self.feature_sizes
+        )
         return self.hparams.replace(
-            vocab_size=self.num_classes, max_frames=self.max_frames
+            vocab_size=self.num_classes,
+            max_frames=self.max_frames,
+            feature_dim=sum(sizes),
         )

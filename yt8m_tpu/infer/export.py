@@ -50,7 +50,9 @@ def export_model(
 ) -> str:
     """Write {stablehlo.bin, params/, meta.json} under export_dir.
 
-    batch_size 0 exports a polymorphic batch dimension.
+    batch_size 0 exports a POLYMORPHIC batch dimension
+    (jax.export.symbolic_shape) so one artifact serves any batch size;
+    a positive batch_size locks the export to that size.
     """
     from jax import export as jax_export
 
@@ -62,17 +64,16 @@ def export_model(
     serve = _serving_fn(model, variables, top_k, hparams.vocab_size)
 
     frame_level = is_frame_level_model(model_name)
+    b = batch_size if batch_size else jax_export.symbolic_shape("b")[0]
     if frame_level:
-        feat_shape = (
-            batch_size or 8, hparams.max_frames, hparams.feature_dim
-        )
+        feat_shape = (b, hparams.max_frames, hparams.feature_dim)
         feat_dtype = jnp.uint8
     else:
-        feat_shape = (batch_size or 8, hparams.feature_dim)
+        feat_shape = (b, hparams.feature_dim)
         feat_dtype = jnp.float32
     args = (
         jax.ShapeDtypeStruct(feat_shape, feat_dtype),
-        jax.ShapeDtypeStruct((feat_shape[0],), jnp.int32),
+        jax.ShapeDtypeStruct((b,), jnp.int32),
     )
     exported = jax_export.export(jax.jit(serve))(*args)
     with open(os.path.join(export_dir, "stablehlo.bin"), "wb") as f:
@@ -90,7 +91,8 @@ def export_model(
                 "model": model_name,
                 "top_k": min(top_k, hparams.vocab_size),
                 "frame_level": frame_level,
-                "batch_size": batch_size or 8,
+                # 0 = polymorphic batch dimension (any size serves)
+                "batch_size": batch_size,
                 "max_frames": hparams.max_frames,
                 "feature_dim": hparams.feature_dim,
                 "vocab_size": hparams.vocab_size,

@@ -73,6 +73,16 @@ def inference(config: InferenceConfig, state=None) -> dict:
     opener = gzip.open if out_file.endswith(".gz") else open
     if cfg.output_probabilities_dir:
         os.makedirs(cfg.output_probabilities_dir, exist_ok=True)
+        try:
+            dump_dtype = np.dtype(cfg.output_probabilities_dtype)
+        except TypeError:
+            raise SystemExit(
+                f"--output_probabilities_dtype="
+                f"{cfg.output_probabilities_dtype!r} is not a valid numpy "
+                f"dtype (try float32 or float16)"
+            )
+    else:
+        dump_dtype = np.float32
 
     restored = state is not None
     n_videos, n_chunks = 0, 0
@@ -125,7 +135,7 @@ def inference(config: InferenceConfig, state=None) -> dict:
                         [i.decode() if isinstance(i, bytes) else str(i)
                          for i in ids]
                     ),
-                    predictions=dense.astype(np.float16),
+                    predictions=dense.astype(dump_dtype),
                 )
                 n_chunks += 1
             n_videos += int(keep.sum())

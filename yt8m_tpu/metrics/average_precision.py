@@ -13,13 +13,14 @@ Semantics preserved exactly, implementation vectorised:
     num_pos = min(total_positives, top_n).
   * Tie-breaking: the reference applies random.seed(0); random.sample
     permutation before a stable sort so equal scores are ranked in a fixed
-    pseudo-random order. We use numpy's RandomState(0) permutation — same
-    purpose, identical results whenever scores have no exact ties, which is
-    the parity case for float model outputs.
+    pseudo-random order. We reproduce that EXACT permutation (stdlib
+    random with seed 0), so AP matches the reference bit-for-bit even
+    when scores contain exact ties.
 """
 
 from __future__ import annotations
 
+import random
 from typing import Optional
 
 import numpy as np
@@ -39,8 +40,12 @@ def ap_at_n(
     if predictions.size == 0:
         return 0.0
 
-    # Fixed pseudo-random permutation for tie-breaking (reference _shuffle).
-    perm = np.random.RandomState(0).permutation(predictions.size)
+    # Fixed pseudo-random permutation for tie-breaking — the reference's
+    # _shuffle: random.seed(0); random.sample(range(n), n). Reproduced
+    # exactly so ties rank identically.
+    perm = np.asarray(
+        random.Random(0).sample(range(predictions.size), predictions.size)
+    )
     predictions = predictions[perm]
     actuals = actuals[perm]
 

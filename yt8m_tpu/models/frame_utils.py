@@ -48,13 +48,16 @@ def sample_random_frames(rng, model_input, num_frames, num_samples: int):
 def sample_random_sequence(rng, model_input, num_frames, num_samples: int):
     """Contiguous random crop (reference: SampleRandomSequence).
 
-    start = floor(U * max(num_frames - num_samples, 1)); indices clipped to
-    the valid range so short videos repeat their last frame.
+    start = floor(U * (max(num_frames - num_samples, 0) + 1)), so every
+    valid window INCLUDING the last (start = num_frames - num_samples) is
+    reachable uniformly; indices clipped to the valid range so short
+    videos repeat their last frame.
     """
     b, f, _ = model_input.shape
     u = jax.random.uniform(rng, (b, 1))
-    max_start = jnp.maximum(
-        num_frames.astype(jnp.float32) - num_samples, 1.0
+    max_start = (
+        jnp.maximum(num_frames.astype(jnp.float32) - num_samples, 0.0)
+        + 1.0
     )[:, None]
     start = jnp.floor(u * max_start).astype(jnp.int32)
     offsets = jnp.arange(num_samples, dtype=jnp.int32)[None, :]

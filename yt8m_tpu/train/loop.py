@@ -41,6 +41,7 @@ def reader_config_from(cfg) -> ReaderConfig:
     )
     if getattr(cfg, "distill_data_pattern", ""):
         rc.distill_feature = "predictions"
+        rc.distill_dim = cfg.num_classes
     return rc
 
 
@@ -59,7 +60,12 @@ class Trainer:
                 cfg.frame_features,
             )
         self.model = get_model(cfg.model, self.hparams)
-        self.loss_obj = losses_lib.get_loss(cfg.label_loss)
+        loss_kw = (
+            {"alpha": cfg.distill_alpha}
+            if cfg.label_loss == "MixedCrossEntropyDistillLoss"
+            else {}
+        )
+        self.loss_obj = losses_lib.get_loss(cfg.label_loss, **loss_kw)
         self.mesh = mesh_lib.make_mesh(cfg.num_devices, cfg.model_parallel)
 
         if data_iterator is None:
