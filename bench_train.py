@@ -22,6 +22,8 @@ CASES = [
     ("MoeModel", False, 4096, {}),
     ("DbofModel", True, 512, {"dbof_cluster_size": 8192}),
     ("GatedNetVladModel", True, 256, {"netvlad_cluster_size": 256}),
+    ("NetVladLstmModel", True, 256,
+     {"netvlad_cluster_size": 256, "lstm_cells": 1024, "lstm_layers": 2}),
     ("LstmModel", True, 256, {"lstm_cells": 1024, "lstm_layers": 2}),
     ("GruModel", True, 256, {"gru_cells": 1024, "gru_layers": 2}),
     ("BiLstmModel", True, 128, {"lstm_cells": 1024, "lstm_layers": 2}),
@@ -30,6 +32,12 @@ CASES = [
 
 def main():
     import jax
+
+    # Optional CLI filter: `python bench_train.py LstmModel GruModel`
+    wanted = set(sys.argv[1:])
+    global CASES
+    if wanted:
+        CASES = [c for c in CASES if c[0] in wanted]
 
     jax.config.update(
         "jax_compilation_cache_dir",

@@ -11,6 +11,7 @@ from yt8m_tpu.models import video as _video  # noqa: F401
 from yt8m_tpu.models import frame as _frame  # noqa: F401
 from yt8m_tpu.models import rnn as _rnn  # noqa: F401
 from yt8m_tpu.models import netvlad as _netvlad  # noqa: F401
+from yt8m_tpu.models import netvlad_lstm as _netvlad_lstm  # noqa: F401
 from yt8m_tpu.models import attention as _attention  # noqa: F401
 from yt8m_tpu.models import chain as _chain  # noqa: F401
 from yt8m_tpu.models import nextvlad as _nextvlad  # noqa: F401

@@ -9,11 +9,14 @@ algorithm per the WILLOW + Monkeytyping papers:
   intra-normalise over D, flatten, L2 normalise  [B, K*D]
   FC -> hidden (+BN), optional context gating, then the MoE head.
 
-TPU notes: training runs the jnp graph (BatchNorm needs cross-batch
-stats; XLA fuses the rest). Inference folds the BN into a per-cluster
-affine and runs the FUSED Pallas kernel (kernels/netvlad.py): dequantize,
-assignment matmul, masked softmax, residual matmul, and both
-normalisations in one VMEM-resident pass per video.
+TPU notes: training computes the assignment matmul + BatchNorm in XLA
+(cross-batch stats), then runs the FUSED custom-VJP core
+(kernels/netvlad_train.py): masked softmax + both aggregation matmuls
+in one VMEM pass, assignment rematerialised in the backward. Inference
+folds the BN into a per-cluster affine and runs the fully fused kernel
+(kernels/netvlad.py): dequantize, assignment matmul, masked softmax,
+residual matmul, and both normalisations in one VMEM-resident pass per
+video.
 """
 
 from __future__ import annotations
@@ -92,7 +95,10 @@ class _NetVladAggregation(nn.Module):
         reg = l2_loss(cluster_weights)
         centers_kd = jnp.transpose(cluster_weights2[0])  # [K, D]
 
-        from yt8m_tpu.kernels import kernels_enabled
+        from yt8m_tpu.kernels import (
+            kernels_enabled,
+            pallas_interpret_forced,
+        )
 
         if (
             not train
@@ -141,17 +147,39 @@ class _NetVladAggregation(nn.Module):
             act = act * gamma + beta
         else:
             act = act + cluster_biases
-        assign = nn.softmax(act, axis=-1).reshape(b, f, k)
-        assign = assign * mask[:, :, None]
+        interpret = pallas_interpret_forced()
+        if (
+            self.use_pallas
+            and kernels_enabled()
+            and not self.is_initializing()
+            and (jax.default_backend() == "tpu" or interpret)
+        ):
+            # Fused TRAINING core (kernels/netvlad_train.py, custom VJP):
+            # masked softmax + both aggregation matmuls in one
+            # VMEM-resident pass per video; the [B,F,K] assignment is
+            # rematerialised in the backward and never stored in HBM.
+            from yt8m_tpu.kernels.netvlad_train import netvlad_core
 
-        a_sum = jnp.sum(assign, axis=1)  # [B, K]
-        vlad = jnp.einsum(
-            "bfk,bfd->bkd",
-            assign.astype(self.dtype),
-            x.astype(self.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        vlad = vlad - a_sum[:, :, None] * centers_kd[None, :, :]
+            num_frames_eff = jnp.sum(mask, axis=1).astype(jnp.int32)
+            vlad = netvlad_core(
+                act.reshape(b, f, k),
+                x,
+                num_frames_eff,
+                centers_kd,
+                interpret,
+            )
+        else:
+            assign = nn.softmax(act, axis=-1).reshape(b, f, k)
+            assign = assign * mask[:, :, None]
+
+            a_sum = jnp.sum(assign, axis=1)  # [B, K]
+            vlad = jnp.einsum(
+                "bfk,bfd->bkd",
+                assign.astype(self.dtype),
+                x.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            vlad = vlad - a_sum[:, :, None] * centers_kd[None, :, :]
 
         vlad = vlad / jnp.maximum(
             jnp.linalg.norm(vlad, axis=2, keepdims=True), 1e-6
