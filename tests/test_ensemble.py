@@ -4,6 +4,7 @@ checkpoint-style averaging, distillation data prep, bagging."""
 import os
 
 import numpy as np
+import pytest
 
 from yt8m_tpu.data.readers import BatchIterator, ReaderConfig
 from yt8m_tpu.data.synthetic import write_video_level_shard
@@ -141,3 +142,90 @@ def test_bagging_partition(tmp_path):
     assert set(bag0).isdisjoint(hold0)
     all_files = sorted(bag0 + hold0)
     assert len(all_files) == 6
+
+
+def test_fit_and_roundtrip_boost_weights(tmp_path):
+    from yt8m_tpu.ensemble.boosting import (
+        fit_boost_weights,
+        load_boost_weights,
+        save_boost_weights,
+    )
+
+    rng = np.random.default_rng(0)
+    ids = [f"v{i}" for i in range(50)]
+    labels = (rng.random((50, C)) < 0.2).astype(np.float32)
+    # Half the videos predicted well, half badly.
+    preds = np.where(labels > 0, 0.9, 0.1).astype(np.float32)
+    preds[25:] = 1.0 - preds[25:]
+    w = fit_boost_weights(ids, preds, labels)
+    assert np.isclose(np.mean(list(w.values())), 1.0, atol=1e-6)
+    good = np.mean([w[f"v{i}"] for i in range(25)])
+    bad = np.mean([w[f"v{i}"] for i in range(25, 50)])
+    assert bad > good * 1.5, (good, bad)
+    path = str(tmp_path / "bw.npz")
+    save_boost_weights(path, w)
+    assert load_boost_weights(path) == pytest.approx(w)
+
+
+def test_boosted_iterator_injects_weights():
+    from yt8m_tpu.ensemble.boosting import BoostedIterator
+
+    batches = [{
+        "id": [b"a", b"b"],
+        "batch_mask": np.ones((2,), np.float32),
+        "features": np.zeros((2, 4), np.float32),
+    }]
+    out = list(BoostedIterator(batches, {"a": 2.0}))
+    np.testing.assert_allclose(
+        out[0]["example_weights"], [2.0, 1.0]
+    )
+
+
+def test_train_step_applies_example_weights():
+    """Weighted loss == weighted mean of per-example losses."""
+    import jax
+
+    from yt8m_tpu.models import ModelHParams, get_model
+    from yt8m_tpu.train.losses import get_loss
+    from yt8m_tpu.train.state import init_train_state, make_optimizer
+    from yt8m_tpu.train.step import make_train_step
+
+    hp = ModelHParams(
+        vocab_size=C, feature_dim=8, compute_dtype="float32"
+    )
+    model = get_model("LogisticModel", hp)
+    rng = np.random.default_rng(1)
+    base = {
+        "features": rng.normal(size=(4, 8)).astype(np.float32),
+        "labels": (rng.random((4, C)) < 0.3).astype(np.float32),
+        "num_frames": np.ones((4,), np.int32),
+        "batch_mask": np.ones((4,), np.float32),
+    }
+    tx = make_optimizer(global_batch_size=4)
+    loss_obj = get_loss("CrossEntropyLoss")
+    step = make_train_step(model, loss_obj, donate=False)
+
+    w = np.array([2.0, 0.5, 1.0, 0.0], np.float32)
+    weighted = dict(base, example_weights=w)
+
+    state = init_train_state(model, jax.random.PRNGKey(0), base, tx, False)
+    _, m_uniform = step(state, base, jax.random.PRNGKey(1))
+    state2 = init_train_state(model, jax.random.PRNGKey(0), base, tx, False)
+    _, m_weighted = step(state2, weighted, jax.random.PRNGKey(1))
+
+    # oracle: per-example CE of the INITIAL model, weighted mean
+    import jax.numpy as jnp
+
+    out = model.apply(
+        {"params": state.params}, jnp.asarray(base["features"]),
+        jnp.asarray(base["num_frames"]), train=True,
+        rngs={"sample": jax.random.PRNGKey(1)},
+    )
+    per_ex = np.asarray(
+        loss_obj.calculate_loss(out["predictions"], base["labels"])
+    )
+    want = float(np.sum(per_ex * w) / np.sum(w))
+    assert float(m_weighted["label_loss"]) == pytest.approx(want, rel=1e-5)
+    assert float(m_weighted["label_loss"]) != pytest.approx(
+        float(m_uniform["label_loss"]), rel=1e-6
+    )

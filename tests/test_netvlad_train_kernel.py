@@ -69,6 +69,7 @@ HP = ModelHParams(
     moe_num_mixtures=2,
     netvlad_cluster_size=K,
     netvlad_hidden_size=16,
+    netvlad_fused_train=True,  # default is off (see hparams.py rationale)
     lstm_cells=16,
     lstm_layers=1,
 )

@@ -54,6 +54,10 @@ class TrainConfig:
     distill_data_pattern: str = ""
     distill_alpha: float = 0.5
 
+    # boosting: npz of per-video loss weights written by
+    # `python -m yt8m_tpu.ensemble.boosting` (empty = uniform)
+    boost_weights_file: str = ""
+
     # parallelism
     model_parallel: int = 1
     # FSDP: shard params (and Adam state) with >= this many elements over

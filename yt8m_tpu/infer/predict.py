@@ -86,6 +86,31 @@ def inference(config: InferenceConfig, state=None) -> dict:
 
     restored = state is not None
     n_videos, n_chunks = 0, 0
+    pending = None
+
+    def _drain(p, n_chunks):
+        topk_out, dense_out, ids_all, keep = p
+        ids = [v for v, m in zip(ids_all, keep) if m]
+        if topk_out is not None:
+            values = np.asarray(jax.device_get(topk_out[0]))[keep]
+            indices = np.asarray(jax.device_get(topk_out[1]))[keep]
+            f.writelines(format_lines(ids, values, indices))
+        if dense_out is not None:
+            dense = np.asarray(jax.device_get(dense_out))[keep]
+            np.savez_compressed(
+                os.path.join(
+                    cfg.output_probabilities_dir,
+                    f"predictions-{n_chunks:05d}.npz",
+                ),
+                ids=np.asarray(
+                    [i.decode() if isinstance(i, bytes) else str(i)
+                     for i in ids]
+                ),
+                predictions=dense.astype(dump_dtype),
+            )
+            n_chunks += 1
+        return n_chunks
+
     t0 = time.time()
     f = opener(out_file, "wt") if out_file else None
     try:
@@ -113,32 +138,25 @@ def inference(config: InferenceConfig, state=None) -> dict:
                 restored = True
             device_batch = mesh_lib.shard_batch(batch, mesh)
             keep = batch["batch_mask"] > 0
-            if f is not None:
-                values, indices = topk_step(state, device_batch, rng)
-                values = np.asarray(jax.device_get(values))[keep]
-                indices = np.asarray(jax.device_get(indices))[keep]
-                ids = [v for v, m in zip(batch["id"], keep) if m]
-                f.writelines(format_lines(ids, values, indices))
-            if dense_step is not None:
-                dense = np.asarray(
-                    jax.device_get(dense_step(state, device_batch, rng))
-                )[keep]
-                ids = np.asarray(
-                    [v for v, m in zip(batch["id"], keep) if m], dtype=object
-                )
-                np.savez_compressed(
-                    os.path.join(
-                        cfg.output_probabilities_dir,
-                        f"predictions-{n_chunks:05d}.npz",
-                    ),
-                    ids=np.asarray(
-                        [i.decode() if isinstance(i, bytes) else str(i)
-                         for i in ids]
-                    ),
-                    predictions=dense.astype(dump_dtype),
-                )
-                n_chunks += 1
+            # One-deep pipeline: dispatch this batch's device work, then
+            # drain the previous batch (CSV formatting / npz writing run
+            # on the host while the device computes this batch).
+            topk_out = (
+                topk_step(state, device_batch, rng)
+                if f is not None
+                else None
+            )
+            dense_out = (
+                dense_step(state, device_batch, rng)
+                if dense_step is not None
+                else None
+            )
+            if pending is not None:
+                n_chunks = _drain(pending, n_chunks)
+            pending = (topk_out, dense_out, batch["id"], keep)
             n_videos += int(keep.sum())
+        if pending is not None:
+            n_chunks = _drain(pending, n_chunks)
     finally:
         if f:
             f.close()

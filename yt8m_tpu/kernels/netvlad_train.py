@@ -96,19 +96,14 @@ def _bwd_kernel(
     )
 
 
-def _pad_f(arr, f_pad):
-    f = arr.shape[1]
-    if f_pad != f:
-        arr = jnp.pad(arr, ((0, 0), (0, f_pad - f), (0, 0)))
-    return arr
-
-
 def _run_fwd(act, x, num_frames, centers, interpret):
+    # No F padding: Mosaic allows block dims EQUAL to the array dims, so
+    # a (1, F, K) block over (B, F, K) lowers for any F — padding here
+    # would force full HBM copies of x and act (~1.3 GB/step at the
+    # reference config), which measurably slowed the train step.
     b, f, k = act.shape
     d = x.shape[2]
-    f_pad = _round_up(f, 8)
-    act = _pad_f(act, f_pad)
-    x = _pad_f(x, f_pad)
+    f_pad = f
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -156,9 +151,9 @@ def _run_fwd(act, x, num_frames, centers, interpret):
 def _run_bwd(act, x, num_frames, centers, dvlad, interpret):
     b, f, k = act.shape
     d = x.shape[2]
-    f_pad = _round_up(f, 8)
-    act_p = _pad_f(act, f_pad)
-    x_p = _pad_f(x, f_pad)
+    f_pad = f
+    act_p = act
+    x_p = x
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -206,7 +201,7 @@ def _run_bwd(act, x, num_frames, centers, dvlad, interpret):
         ),
         interpret=interpret,
     )(num_frames.astype(jnp.int32), act_p, x_p, centers, dvlad)
-    return dact[:, :f], dx[:, :f]
+    return dact, dx
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -48,6 +48,14 @@ class ModelHParams:
     netvlad_gating: bool = True
     netvlad_sample_frames: int = 0  # 0 = use all (masked) frames
     netvlad_use_pallas: bool = True  # fused kernel on the inference path
+    # Fused custom-VJP aggregation core on the TRAINING path
+    # (kernels/netvlad_train.py). Default OFF: measured 4% SLOWER than
+    # the XLA graph at the reference config (7.0k vs 7.2k videos/s/chip,
+    # same session) because the train step is bound by the 302M-param
+    # hidden FC + Adam (16ms of 37ms), not aggregation — see BENCH_NOTES
+    # round-2 profile. Turn ON to avoid materialising the [B,F,K]
+    # assignment (activation-memory headroom at large B*F*K).
+    netvlad_fused_train: bool = False
 
     # Attention pooling family (fork: attention_*.py)
     attention_heads: int = 8

@@ -52,6 +52,7 @@ class _NetVladAggregation(nn.Module):
     add_batch_norm: bool = True
     dtype: object = jnp.float32
     use_pallas: bool = True
+    fused_train: bool = True
 
     @nn.compact
     def __call__(self, frames, num_frames, mask, train: bool = False):
@@ -150,6 +151,7 @@ class _NetVladAggregation(nn.Module):
         interpret = pallas_interpret_forced()
         if (
             self.use_pallas
+            and self.fused_train
             and kernels_enabled()
             and not self.is_initializing()
             and (jax.default_backend() == "tpu" or interpret)
@@ -215,6 +217,7 @@ class _NetVladBase(nn.Module):
             add_batch_norm=hp.netvlad_add_batch_norm,
             dtype=hp.dtype,
             use_pallas=hp.netvlad_use_pallas,
+            fused_train=hp.netvlad_fused_train,
             name="vlad",
         )(features, num_frames, mask, train=train)
 

@@ -58,6 +58,7 @@ class _NetVladLstmBase(nn.Module):
             add_batch_norm=hp.netvlad_add_batch_norm,
             dtype=hp.dtype,
             use_pallas=hp.netvlad_use_pallas,
+            fused_train=hp.netvlad_fused_train,
             name="vlad",
         )(x, num_frames, mask, train=train)
         hidden_weights = self.param(

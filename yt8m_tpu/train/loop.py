@@ -93,6 +93,15 @@ class Trainer:
                 seed=cfg.seed + _jax.process_index(),
                 pad_final_batch=True,
             )
+        if getattr(cfg, "boost_weights_file", ""):
+            from yt8m_tpu.ensemble.boosting import (
+                BoostedIterator,
+                load_boost_weights,
+            )
+
+            data_iterator = BoostedIterator(
+                data_iterator, load_boost_weights(cfg.boost_weights_file)
+            )
         self.data_iterator = data_iterator
 
         self.tx = make_optimizer(

@@ -43,6 +43,11 @@ def make_train_step(
         mask = batch["batch_mask"]
         num_frames = batch["num_frames"]
         teacher = batch.get("teacher")
+        # Boosting (SURVEY.md §2.2 bagging/boosting): per-example weights
+        # fold into the loss mask — weighted mean over live examples.
+        weights = batch.get("example_weights")
+        if weights is not None:
+            mask = mask * weights
 
         def loss_fn(params):
             variables = {"params": params}
