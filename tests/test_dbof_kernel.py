@@ -1,0 +1,148 @@
+"""Fused DBoF cluster+maxpool kernel: == jnp oracle (interpret mode),
+plus model-level fused-inference parity for the DBoF family."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from yt8m_tpu.kernels.dbof import (
+    dbof_cluster_maxpool,
+    dbof_cluster_maxpool_reference,
+)
+from yt8m_tpu.models import ModelHParams, get_model
+
+B, S, D, K, C = 5, 6, 16, 8, 12
+
+
+@pytest.mark.parametrize("dtype", ["uint8", "float32"])
+def test_kernel_matches_oracle(dtype):
+    rng = np.random.default_rng(0)
+    if dtype == "uint8":
+        x = rng.integers(0, 256, size=(B, S, D), dtype=np.uint8)
+    else:
+        x = rng.normal(size=(B, S, D)).astype(np.float32)
+    w = rng.normal(size=(D, K)).astype(np.float32) * 0.1
+    s_in = rng.uniform(0.5, 1.5, D).astype(np.float32)
+    b_in = rng.normal(size=(D,)).astype(np.float32) * 0.1
+    s_act = rng.uniform(0.5, 1.5, K).astype(np.float32)
+    b_act = rng.normal(size=(K,)).astype(np.float32) * 0.1
+    args = tuple(map(jnp.asarray, (x, w, s_in, b_in, s_act, b_act)))
+    got = dbof_cluster_maxpool(*args, interpret=True, block_b=2)
+    want = dbof_cluster_maxpool_reference(*args)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_kernel_k_tiling():
+    """K > block_k exercises the (k, b) grid with W-tile revisiting."""
+    rng = np.random.default_rng(1)
+    k = 32
+    x = rng.integers(0, 256, size=(4, 3, 8), dtype=np.uint8)
+    w = rng.normal(size=(8, k)).astype(np.float32) * 0.1
+    ones_d, zeros_d = np.ones(8, np.float32), np.zeros(8, np.float32)
+    ones_k, zeros_k = np.ones(k, np.float32), np.zeros(k, np.float32)
+    got = dbof_cluster_maxpool(
+        jnp.asarray(x), jnp.asarray(w), ones_d, zeros_d, ones_k, zeros_k,
+        interpret=True, block_b=4, block_k=16,
+    )
+    want = dbof_cluster_maxpool_reference(
+        jnp.asarray(x), jnp.asarray(w), ones_d, zeros_d, ones_k, zeros_k
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
+    )
+
+
+HP = ModelHParams(
+    vocab_size=C,
+    feature_dim=D,
+    max_frames=10,
+    compute_dtype="float32",
+    moe_num_mixtures=2,
+    dbof_cluster_size=K,
+    dbof_hidden_size=8,
+    iterations=S,
+)
+
+
+@pytest.mark.parametrize(
+    "model_name", ["DbofModel", "GatedDbofModel"]
+)
+def test_model_fused_inference_matches_jnp(model_name, monkeypatch):
+    rng = np.random.default_rng(2)
+    feats = rng.integers(0, 256, size=(B, 10, D), dtype=np.uint8)
+    nf = np.array([10, 3, 7, 1, 10], np.int32)
+    model = get_model(model_name, HP)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(feats), jnp.asarray(nf), train=False,
+    )
+
+    def run():
+        out = model.apply(
+            variables, jnp.asarray(feats), jnp.asarray(nf), train=False,
+            rngs={"sample": jax.random.PRNGKey(3)},
+        )
+        return np.asarray(out["predictions"])
+
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
+    fused = run()
+    monkeypatch.delenv("YT8M_PALLAS_INTERPRET")
+    monkeypatch.setenv("YT8M_DISABLE_PALLAS", "1")
+    plain = run()
+    np.testing.assert_allclose(fused, plain, rtol=3e-2, atol=3e-3)
+
+
+def test_model_fused_dispatch_called(monkeypatch):
+    import yt8m_tpu.kernels.dbof as mod
+
+    real = mod.dbof_cluster_maxpool
+    calls = []
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mod, "dbof_cluster_maxpool", counting)
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(3)
+    feats = rng.integers(0, 256, size=(B, 10, D), dtype=np.uint8)
+    nf = np.full((B,), 10, np.int32)
+    model = get_model("DbofModel", HP)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(feats), jnp.asarray(nf), train=False,
+    )
+    model.apply(
+        variables, jnp.asarray(feats), jnp.asarray(nf), train=False,
+        rngs={"sample": jax.random.PRNGKey(3)},
+    )
+    assert calls, "inference never dispatched to dbof_cluster_maxpool"
+
+
+def test_train_path_unchanged_by_kernel_flag(monkeypatch):
+    """TRAIN always uses the XLA graph (BN needs batch stats)."""
+    import yt8m_tpu.kernels.dbof as mod
+
+    calls = []
+    monkeypatch.setattr(
+        mod, "dbof_cluster_maxpool",
+        lambda *a, **kw: calls.append(1) or None,
+    )
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(4)
+    feats = rng.integers(0, 256, size=(B, 10, D), dtype=np.uint8)
+    nf = np.full((B,), 10, np.int32)
+    model = get_model("DbofModel", HP)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(feats), jnp.asarray(nf), train=False,
+    )
+    model.apply(
+        variables, jnp.asarray(feats), jnp.asarray(nf), train=True,
+        rngs={"sample": jax.random.PRNGKey(3)},
+        mutable=["batch_stats"],
+    )
+    assert not calls

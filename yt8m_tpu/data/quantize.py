@@ -17,6 +17,12 @@ from __future__ import annotations
 import numpy as np
 
 
+# The affine constants for the default (-2, 2) range, for kernels that
+# fold dequantization into another per-dim affine.
+DEQUANT_SCALE = 4.0 / 255.0
+DEQUANT_BIAS = 4.0 / 512.0 - 2.0
+
+
 def dequantize(feat, max_quantized_value=2.0, min_quantized_value=-2.0):
     """uint8 (or float holding 0..255) -> float in [min, max]."""
     quantized_range = max_quantized_value - min_quantized_value

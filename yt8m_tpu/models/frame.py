@@ -7,6 +7,7 @@ Input: dequantized features [B, F, D] plus num_frames [B].
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from yt8m_tpu.models.frame_utils import (
@@ -47,6 +48,27 @@ class FrameLevelLogisticModel(nn.Module):
         )(pooled)
 
 
+_BN_MOMENTUM = 0.99
+_BN_EPS = 1e-3
+
+
+def _inline_bn(x, gamma, beta, ra_mean, ra_var, update_stats: bool):
+    """BatchNorm over axis 0 with foldable running stats (mirrors
+    nn.BatchNorm semantics: momentum 0.99, eps 1e-3)."""
+    if update_stats:
+        mean = jnp.mean(x, axis=0)
+        var = jnp.var(x, axis=0)
+        ra_mean.value = (
+            _BN_MOMENTUM * ra_mean.value + (1 - _BN_MOMENTUM) * mean
+        )
+        ra_var.value = (
+            _BN_MOMENTUM * ra_var.value + (1 - _BN_MOMENTUM) * var
+        )
+    else:
+        mean, var = ra_mean.value, ra_var.value
+    return (x - mean) * jax.lax.rsqrt(var + _BN_EPS) * gamma + beta
+
+
 class _DbofBase(nn.Module):
     """Deep Bag-of-Frames.
 
@@ -69,65 +91,136 @@ class _DbofBase(nn.Module):
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
         hp = self.hp
+        k = hp.dbof_cluster_size
         rng = self.make_rng("sample")
         if hp.sample_random_frames:
-            x = sample_random_frames(rng, features, num_frames, hp.iterations)
-        else:
-            x = sample_random_sequence(
+            x_raw = sample_random_frames(
                 rng, features, num_frames, hp.iterations
             )
-        # Dequantize AFTER sampling: only S of 300 frames pay the cast.
-        x = ensure_float(x)
-        b, s, d = x.shape
-        x = x.reshape(b * s, d)
-
-        if hp.dbof_add_batch_norm:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
-                dtype=jnp.float32,
-                name="input_bn",
-            )(x)
+        else:
+            x_raw = sample_random_sequence(
+                rng, features, num_frames, hp.iterations
+            )
+        b, s, d = x_raw.shape
 
         cluster_kernel = self.param(
             "cluster_kernel",
             nn.initializers.normal(1.0 / jnp.sqrt(d)),
-            (d, hp.dbof_cluster_size),
+            (d, k),
             jnp.float32,
         )
-        act = jnp.dot(
-            x.astype(hp.dtype),
-            cluster_kernel.astype(hp.dtype),
-            preferred_element_type=jnp.float32,
-        )
+        # Input/cluster BatchNorms are inline (not nn.BatchNorm) so
+        # inference can fold them into per-dim affines for the fused
+        # cluster+pool kernel — same pattern as models/netvlad.py.
         if hp.dbof_add_batch_norm:
-            act = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
-                dtype=jnp.float32,
-                name="cluster_bn",
-            )(act)
+            in_gamma = self.param(
+                "input_bn_scale", nn.initializers.ones, (d,), jnp.float32
+            )
+            in_beta = self.param(
+                "input_bn_bias", nn.initializers.zeros, (d,), jnp.float32
+            )
+            in_mean = self.variable(
+                "batch_stats", "input_bn_mean",
+                lambda: jnp.zeros((d,), jnp.float32),
+            )
+            in_var = self.variable(
+                "batch_stats", "input_bn_var",
+                lambda: jnp.ones((d,), jnp.float32),
+            )
+            c_gamma = self.param(
+                "cluster_bn_scale", nn.initializers.ones, (k,), jnp.float32
+            )
+            c_beta = self.param(
+                "cluster_bn_bias", nn.initializers.zeros, (k,), jnp.float32
+            )
+            c_mean = self.variable(
+                "batch_stats", "cluster_bn_mean",
+                lambda: jnp.zeros((k,), jnp.float32),
+            )
+            c_var = self.variable(
+                "batch_stats", "cluster_bn_var",
+                lambda: jnp.ones((k,), jnp.float32),
+            )
         else:
-            bias = self.param(
+            cluster_bias = self.param(
                 "cluster_bias",
                 nn.initializers.normal(0.01),
-                (hp.dbof_cluster_size,),
+                (k,),
                 jnp.float32,
             )
-            act = act + bias
-        act = nn.relu(act)
 
-        act = act.reshape(b, s, hp.dbof_cluster_size)
         method = self.pooling_override or hp.dbof_pooling_method
-        if method == "soft":
-            # SoftDBoF (WILLOW-era variant): sum of per-frame activations
-            # normalised by a softmax over the cluster axis.
-            soft = nn.softmax(act, axis=-1)
-            pooled = jnp.sum(soft, axis=1)
+
+        from yt8m_tpu.kernels import (
+            kernels_enabled,
+            pallas_interpret_forced,
+        )
+
+        interpret = pallas_interpret_forced()
+        use_fused = (
+            not train
+            and method == "max"
+            and hp.dbof_use_pallas
+            and kernels_enabled()
+            and not self.is_initializing()
+            and (jax.default_backend() == "tpu" or interpret)
+        )
+        if use_fused:
+            # Fused cluster+pool (kernels/dbof.py): dequant + input-BN
+            # affine + cluster matmul + BN/ReLU + max-pool per K-tile,
+            # never materialising act [B*S, K] in HBM.
+            from yt8m_tpu.data.quantize import DEQUANT_BIAS, DEQUANT_SCALE
+            from yt8m_tpu.kernels.dbof import dbof_cluster_maxpool
+
+            if hp.dbof_add_batch_norm:
+                s_in = in_gamma * jax.lax.rsqrt(in_var.value + 1e-3)
+                b_in = in_beta - in_mean.value * s_in
+                s_act = c_gamma * jax.lax.rsqrt(c_var.value + 1e-3)
+                b_act = c_beta - c_mean.value * s_act
+            else:
+                s_in = jnp.ones((d,), jnp.float32)
+                b_in = jnp.zeros((d,), jnp.float32)
+                s_act = jnp.ones((k,), jnp.float32)
+                b_act = cluster_bias
+            if x_raw.dtype == jnp.uint8:
+                # fold dequantize into the input affine
+                b_in = DEQUANT_BIAS * s_in + b_in
+                s_in = DEQUANT_SCALE * s_in
+            pooled = dbof_cluster_maxpool(
+                x_raw, cluster_kernel, s_in, b_in, s_act, b_act,
+                interpret=interpret,
+            )
         else:
-            pooled = frame_pooling(act, method)
+            # Dequantize AFTER sampling: only S of 300 frames pay the
+            # cast.
+            x = ensure_float(x_raw).reshape(b * s, d)
+            if hp.dbof_add_batch_norm:
+                x = _inline_bn(
+                    x, in_gamma, in_beta, in_mean, in_var,
+                    train and not self.is_initializing(),
+                )
+            act = jnp.dot(
+                x.astype(hp.dtype),
+                cluster_kernel.astype(hp.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if hp.dbof_add_batch_norm:
+                act = _inline_bn(
+                    act, c_gamma, c_beta, c_mean, c_var,
+                    train and not self.is_initializing(),
+                )
+            else:
+                act = act + cluster_bias
+            act = nn.relu(act)
+
+            act = act.reshape(b, s, k)
+            if method == "soft":
+                # SoftDBoF (WILLOW-era variant): sum of per-frame
+                # activations normalised by a softmax over clusters.
+                soft = nn.softmax(act, axis=-1)
+                pooled = jnp.sum(soft, axis=1)
+            else:
+                pooled = frame_pooling(act, method)
 
         hidden_kernel = self.param(
             "hidden_kernel",

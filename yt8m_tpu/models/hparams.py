@@ -27,6 +27,8 @@ class ModelHParams:
     dbof_cluster_size: int = 8192
     dbof_hidden_size: int = 1024
     dbof_pooling_method: str = "max"  # max | average
+    # fused cluster+maxpool kernel on the inference path (kernels/dbof.py)
+    dbof_use_pallas: bool = True
     dbof_add_batch_norm: bool = True
     sample_random_frames: bool = True
     iterations: int = 30  # frames sampled per video
