@@ -23,6 +23,11 @@
 #include <string>
 #include <vector>
 
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
 namespace {
 
 struct Slice {
@@ -149,42 +154,65 @@ struct Reader {
 
   std::vector<std::string> paths;
   size_t path_idx = 0;
-  FILE* f = nullptr;
-  std::vector<uint8_t> rec_buf;
 
-  ~Reader() {
-    if (f) fclose(f);
+  // mmap-backed shard: records become zero-copy slices into the file
+  // mapping (no per-record fread copy — the parser's single biggest
+  // memory-bandwidth cost at ~345 KB/video).
+  const uint8_t* map_base = nullptr;
+  size_t map_len = 0;
+  size_t map_pos = 0;
+
+  void unmap() {
+    if (map_base) {
+      munmap(const_cast<uint8_t*>(map_base), map_len);
+      map_base = nullptr;
+      map_len = 0;
+      map_pos = 0;
+    }
+  }
+
+  ~Reader() { unmap(); }
+
+  bool open_next_file() {
+    unmap();
+    while (path_idx < paths.size()) {
+      const char* path = paths[path_idx++].c_str();
+      int fd = open(path, O_RDONLY);
+      if (fd < 0) continue;
+      struct stat st;
+      if (fstat(fd, &st) != 0 || st.st_size == 0) {
+        close(fd);
+        continue;
+      }
+      void* m = mmap(nullptr, st.st_size, PROT_READ, MAP_PRIVATE, fd, 0);
+      close(fd);  // mapping keeps the file alive
+      if (m == MAP_FAILED) continue;
+      madvise(m, st.st_size, MADV_SEQUENTIAL);
+      map_base = static_cast<const uint8_t*>(m);
+      map_len = static_cast<size_t>(st.st_size);
+      map_pos = 0;
+      return true;
+    }
+    return false;
   }
 
   bool next_record(Slice* rec) {
     for (;;) {
-      if (!f) {
-        if (path_idx >= paths.size()) return false;
-        f = fopen(paths[path_idx].c_str(), "rb");
-        ++path_idx;
-        if (!f) continue;
-      }
-      uint8_t header[12];
-      if (fread(header, 1, 12, f) != 12) {
-        fclose(f);
-        f = nullptr;
+      if (!map_base && !open_next_file()) return false;
+      // TFRecord framing: u64 len | u32 crc(len) | data | u32 crc(data)
+      if (map_pos + 12 > map_len) {
+        unmap();
         continue;
       }
       uint64_t len;
-      memcpy(&len, header, 8);  // little-endian hosts only (x86/ARM LE)
-      rec_buf.resize(len);
-      if (fread(rec_buf.data(), 1, len, f) != len) {
-        fclose(f);
-        f = nullptr;
+      memcpy(&len, map_base + map_pos, 8);  // LE hosts (x86/ARM LE)
+      if (map_pos + 12 + len + 4 > map_len) {
+        unmap();  // truncated shard: drop the partial record
         continue;
       }
-      if (fseek(f, 4, SEEK_CUR) != 0) {  // skip data crc
-        fclose(f);
-        f = nullptr;
-        continue;
-      }
-      rec->data = rec_buf.data();
-      rec->len = len;
+      rec->data = map_base + map_pos + 12;
+      rec->len = static_cast<size_t>(len);
+      map_pos += 12 + len + 4;
       return true;
     }
   }
@@ -272,7 +300,10 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
   for (int s : r->feature_sizes) total_dim += s;
   const size_t video_bytes =
       static_cast<size_t>(r->max_frames) * total_dim;
-  memset(features, 0, static_cast<size_t>(batch) * video_bytes);
+  // No bulk memset: each feature's unwritten tail rows are zeroed
+  // per video below (the full-batch memset cost ~0.35 GB/s of the
+  // parser's single-core budget). Videos beyond the returned count
+  // are left untouched — batch_mask excludes them downstream.
   if (distill && r->distill_dim)
     memset(distill, 0, sizeof(float) * batch * r->distill_dim);
 
@@ -293,6 +324,9 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
     // feature_lists: copy each named list's per-frame bytes.
     uint8_t* vid_base = features + static_cast<size_t>(n) * video_bytes;
     int nf = -1;
+    // rows written per feature (dense prefixes); used to zero only the
+    // unwritten tails instead of memsetting the whole batch buffer.
+    std::vector<int> written(r->feature_names.size(), 0);
     if (lists.data) {
       for_each_field(lists, [&](uint32_t f, uint32_t w, Slice entry) {
         if (f != 1 || w != 2) return;
@@ -305,10 +339,12 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
         std::string k(reinterpret_cast<const char*>(key.data), key.len);
         int col = 0;
         int size = 0;
+        size_t feat_idx = 0;
         bool found = false;
         for (size_t i = 0; i < r->feature_names.size(); ++i) {
           if (k == r->feature_names[i]) {
             size = r->feature_sizes[i];
+            feat_idx = i;
             found = true;
             break;
           }
@@ -322,15 +358,33 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
             ++t;
             return;
           }
+          uint8_t* dst =
+              vid_base + static_cast<size_t>(t) * total_dim + col;
           Slice bytes = first_bytes_of_feature(feat);
           if (bytes.data && static_cast<int>(bytes.len) == size) {
-            memcpy(vid_base + static_cast<size_t>(t) * total_dim + col,
-                   bytes.data, size);
+            memcpy(dst, bytes.data, size);
+          } else {
+            memset(dst, 0, size);  // malformed frame: keep zeros
           }
           ++t;
         });
+        written[feat_idx] =
+            t > r->max_frames ? r->max_frames : t;
         if (t > nf) nf = t;
       });
+    }
+    // zero each feature's unwritten tail rows (and whole column block
+    // for features absent from this record)
+    {
+      int col = 0;
+      for (size_t i = 0; i < r->feature_names.size(); ++i) {
+        const int size = r->feature_sizes[i];
+        for (int t = written[i]; t < r->max_frames; ++t) {
+          memset(vid_base + static_cast<size_t>(t) * total_dim + col, 0,
+                 size);
+        }
+        col += size;
+      }
     }
     num_frames[n] = nf < 0 ? 0
                     : (nf > r->max_frames ? r->max_frames : nf);
