@@ -49,7 +49,7 @@ def main():
     hp = _flagship_hparams()
     model = get_model(FLAGSHIP_MODEL, hp)
 
-    batch = 2048
+    batch = int(os.environ.get("YT8M_BENCH_BATCH", "2048"))
     f, d = hp.max_frames, hp.feature_dim
     rng = np.random.default_rng(0)
     host_u8 = rng.integers(0, 256, size=(2, f, d), dtype=np.uint8)

@@ -9,14 +9,18 @@ import pytest
 from yt8m_tpu.kernels.dbof import (
     dbof_cluster_maxpool,
     dbof_cluster_maxpool_reference,
+    dbof_cluster_maxpool_v2,
+    dbof_sampled_cluster_maxpool,
 )
 from yt8m_tpu.models import ModelHParams, get_model
 
 B, S, D, K, C = 5, 6, 16, 8, 12
 
 
+@pytest.mark.parametrize("variant", [dbof_cluster_maxpool,
+                                     dbof_cluster_maxpool_v2])
 @pytest.mark.parametrize("dtype", ["uint8", "float32"])
-def test_kernel_matches_oracle(dtype):
+def test_kernel_matches_oracle(dtype, variant):
     rng = np.random.default_rng(0)
     if dtype == "uint8":
         x = rng.integers(0, 256, size=(B, S, D), dtype=np.uint8)
@@ -28,8 +32,35 @@ def test_kernel_matches_oracle(dtype):
     s_act = rng.uniform(0.5, 1.5, K).astype(np.float32)
     b_act = rng.normal(size=(K,)).astype(np.float32) * 0.1
     args = tuple(map(jnp.asarray, (x, w, s_in, b_in, s_act, b_act)))
-    got = dbof_cluster_maxpool(*args, interpret=True, block_b=2)
+    got = variant(*args, interpret=True, block_b=2)
     want = dbof_cluster_maxpool_reference(*args)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
+    )
+
+
+def test_sampled_kernel_matches_gather_oracle():
+    """Fused in-kernel one-hot gather == XLA gather + oracle."""
+    rng = np.random.default_rng(5)
+    b, f, d, s, k = 12, 40, 256, 7, 256
+    x = rng.integers(0, 256, size=(b, f, d), dtype=np.uint8)
+    idx = rng.integers(0, f, (b, s)).astype(np.int32)
+    w = rng.normal(size=(d, k)).astype(np.float32) * 0.05
+    s_in = rng.uniform(0.5, 1.5, d).astype(np.float32)
+    b_in = rng.normal(size=(d,)).astype(np.float32) * 0.1
+    s_act = rng.uniform(0.5, 1.5, k).astype(np.float32)
+    b_act = rng.normal(size=(k,)).astype(np.float32) * 0.1
+    got = dbof_sampled_cluster_maxpool(
+        jnp.asarray(x), jnp.asarray(idx), jnp.asarray(w),
+        jnp.asarray(s_in), jnp.asarray(b_in), jnp.asarray(s_act),
+        jnp.asarray(b_act), interpret=True, block_b=8, block_k=128,
+    )
+    x_sel = np.take_along_axis(x, idx[:, :, None], axis=1)
+    want = dbof_cluster_maxpool_reference(
+        jnp.asarray(x_sel).astype(jnp.float32), jnp.asarray(w),
+        jnp.asarray(s_in), jnp.asarray(b_in), jnp.asarray(s_act),
+        jnp.asarray(b_act),
+    )
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-3
     )
@@ -98,14 +129,14 @@ def test_model_fused_inference_matches_jnp(model_name, monkeypatch):
 def test_model_fused_dispatch_called(monkeypatch):
     import yt8m_tpu.kernels.dbof as mod
 
-    real = mod.dbof_cluster_maxpool
+    real = mod.dbof_cluster_maxpool_v2
     calls = []
 
     def counting(*a, **kw):
         calls.append(1)
         return real(*a, **kw)
 
-    monkeypatch.setattr(mod, "dbof_cluster_maxpool", counting)
+    monkeypatch.setattr(mod, "dbof_cluster_maxpool_v2", counting)
     monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
     rng = np.random.default_rng(3)
     feats = rng.integers(0, 256, size=(B, 10, D), dtype=np.uint8)
@@ -119,7 +150,7 @@ def test_model_fused_dispatch_called(monkeypatch):
         variables, jnp.asarray(feats), jnp.asarray(nf), train=False,
         rngs={"sample": jax.random.PRNGKey(3)},
     )
-    assert calls, "inference never dispatched to dbof_cluster_maxpool"
+    assert calls, "inference never dispatched to dbof_cluster_maxpool_v2"
 
 
 def test_train_path_unchanged_by_kernel_flag(monkeypatch):
@@ -128,7 +159,7 @@ def test_train_path_unchanged_by_kernel_flag(monkeypatch):
 
     calls = []
     monkeypatch.setattr(
-        mod, "dbof_cluster_maxpool",
+        mod, "dbof_cluster_maxpool_v2",
         lambda *a, **kw: calls.append(1) or None,
     )
     monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")

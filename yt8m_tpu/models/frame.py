@@ -170,7 +170,7 @@ class _DbofBase(nn.Module):
             # affine + cluster matmul + BN/ReLU + max-pool per K-tile,
             # never materialising act [B*S, K] in HBM.
             from yt8m_tpu.data.quantize import DEQUANT_BIAS, DEQUANT_SCALE
-            from yt8m_tpu.kernels.dbof import dbof_cluster_maxpool
+            from yt8m_tpu.kernels.dbof import dbof_cluster_maxpool_v2
 
             if hp.dbof_add_batch_norm:
                 s_in = in_gamma * jax.lax.rsqrt(in_var.value + 1e-3)
@@ -186,7 +186,7 @@ class _DbofBase(nn.Module):
                 # fold dequantize into the input affine
                 b_in = DEQUANT_BIAS * s_in + b_in
                 s_in = DEQUANT_SCALE * s_in
-            pooled = dbof_cluster_maxpool(
+            pooled = dbof_cluster_maxpool_v2(
                 x_raw, cluster_kernel, s_in, b_in, s_act, b_act,
                 interpret=interpret,
             )
