@@ -159,3 +159,60 @@ def test_moe_gate_abstention_dims():
     params = variables["params"]["tower"]
     assert params["gates_kernel"].shape == (D, C * 4)
     assert params["experts_kernel"].shape == (D, C * 3)
+
+
+def test_layer_norm_lstm_params_and_flag_equivalence():
+    """--lstm_layer_norm=true on LstmModel == LayerNormLstmModel, and the
+    LN cell creates per-gate scale/shift params (fork variant,
+    SURVEY.md §2.2 'layer-norm cells')."""
+    feats, nf = _make_inputs(True)
+    hp_ln = HP.replace(lstm_layer_norm=True)
+    out_flag, vars_flag = _init_and_apply(
+        get_model("LstmModel", hp_ln), feats, nf
+    )
+    out_named, _ = _init_and_apply(
+        get_model("LayerNormLstmModel", HP), feats, nf
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_flag["predictions"]),
+        np.asarray(out_named["predictions"]),
+        rtol=1e-6,
+    )
+    layer0 = vars_flag["params"]["fw_layer0"]
+    assert "ln_scale" in layer0 and layer0["ln_scale"].shape == (5, 16)
+    preds = np.asarray(out_flag["predictions"])
+    assert preds.shape == (B, C)
+    assert np.all((preds >= 0) & (preds <= 1))
+
+
+def test_residual_rnn_changes_output_and_keeps_masking():
+    """--rnn_residual adds identity skips between stacked layers
+    (SURVEY.md §2.2 'residual stacks'); padded frames still must not
+    leak."""
+    feats, nf = _make_inputs(True)
+    hp_res = HP.replace(rnn_residual=True)
+    out_res, _ = _init_and_apply(get_model("LstmModel", hp_res), feats, nf)
+    out_plain, _ = _init_and_apply(get_model("LstmModel", HP), feats, nf)
+    assert not np.allclose(
+        np.asarray(out_res["predictions"]),
+        np.asarray(out_plain["predictions"]),
+    ), "residual flag had no effect"
+
+    # mask invariance under residual stacking
+    feats_garbage = np.asarray(feats).copy()
+    rng = np.random.default_rng(9)
+    for i, n in enumerate(np.asarray(nf)):
+        feats_garbage[i, n:] = rng.normal(size=(F - n, D)) * 50
+    model = get_model("LstmModel", hp_res)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        feats, nf, train=False,
+    )
+    a = model.apply(variables, feats, nf, train=False,
+                    rngs={"sample": jax.random.PRNGKey(2)})
+    b = model.apply(variables, jnp.asarray(feats_garbage), nf, train=False,
+                    rngs={"sample": jax.random.PRNGKey(2)})
+    np.testing.assert_allclose(
+        np.asarray(a["predictions"]), np.asarray(b["predictions"]),
+        rtol=1e-5, atol=1e-6,
+    )

@@ -40,6 +40,12 @@ class ModelHParams:
     lstm_pooling: str = "last"  # last | max | mean
     rnn_bidirectional: bool = False
     lstm_use_pallas: bool = True  # fused recurrence on inference path
+    # Fork RNN variants (SURVEY.md §2.2 "layer-norm cells, residual
+    # stacks"): layer-norm on the LSTM gate pre-activations + cell state
+    # (TF LayerNormBasicLSTMCell semantics), and residual connections
+    # between stacked layers (h_{l+1} = h_l + rnn_l(h_l) for l >= 1).
+    lstm_layer_norm: bool = False
+    rnn_residual: bool = False
     gru_cells: int = 1024
     gru_layers: int = 2
 

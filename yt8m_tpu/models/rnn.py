@@ -17,6 +17,7 @@ bias 1.0 on the update/reset gates) so hyperparameters transfer.
 
 from __future__ import annotations
 
+import functools
 from typing import Any
 
 import flax.linen as nn
@@ -33,11 +34,20 @@ from yt8m_tpu.models.registry import register
 from yt8m_tpu.models.video import make_classifier_head
 
 
+def _layer_norm(x, gamma, beta, eps: float = 1e-6):
+    """Pure layer norm over the last axis (params threaded in so it can
+    run inside a lax.scan body)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
 class _LstmLayer(nn.Module):
     hidden: int
     dtype: Any = jnp.float32
     reverse: bool = False
     use_pallas: bool = True
+    layer_norm: bool = False
 
     @nn.compact
     def __call__(self, xs, mask, train: bool = False):
@@ -52,6 +62,51 @@ class _LstmLayer(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (4 * h,), jnp.float32)
+
+        if self.layer_norm:
+            # Fork variant (SURVEY.md §2.2 "layer-norm cells"): TF1
+            # LayerNormBasicLSTMCell — LN on each gate pre-activation
+            # (per-gate scale/shift; LN beta subsumes the cell bias) and
+            # on the new cell state before the output tanh. No fused
+            # kernel for this variant: it runs on the scan path.
+            ln_scale = self.param(
+                "ln_scale", nn.initializers.ones, (5, h), jnp.float32
+            )
+            ln_bias = self.param(
+                "ln_bias", nn.initializers.zeros, (5, h), jnp.float32
+            )
+            kernel_c = kernel.astype(self.dtype)
+
+            def ln_step(carry, inp):
+                c, hid = carry
+                x, m = inp
+                zin = jnp.concatenate([x, hid], axis=-1).astype(self.dtype)
+                z = jnp.dot(
+                    zin, kernel_c, preferred_element_type=jnp.float32
+                )
+                i, j, fgate, o = jnp.split(z, 4, axis=-1)
+                i = _layer_norm(i, ln_scale[0], ln_bias[0])
+                j = _layer_norm(j, ln_scale[1], ln_bias[1])
+                fgate = _layer_norm(fgate, ln_scale[2], ln_bias[2])
+                o = _layer_norm(o, ln_scale[3], ln_bias[3])
+                new_c = c * nn.sigmoid(fgate + 1.0) + nn.sigmoid(
+                    i
+                ) * jnp.tanh(j)
+                new_h = jnp.tanh(
+                    _layer_norm(new_c, ln_scale[4], ln_bias[4])
+                ) * nn.sigmoid(o)
+                new_c = jnp.where(m > 0, new_c, c)
+                new_h = jnp.where(m > 0, new_h, hid)
+                return (new_c, new_h), new_h
+
+            init = (
+                jnp.zeros((b, h), jnp.float32),
+                jnp.zeros((b, h), jnp.float32),
+            )
+            (final_c, final_h), outputs = jax.lax.scan(
+                ln_step, init, (xs, mask), reverse=self.reverse
+            )
+            return outputs, (final_c, final_h)
 
         from yt8m_tpu.kernels import (
             kernels_enabled,
@@ -245,6 +300,7 @@ def _run_rnn(
     pooling: str,
     train: bool = False,
     use_pallas: bool = True,
+    residual: bool = False,
 ):
     """features [B, F, D] -> pooled [B, H * dirs]."""
     features = ensure_float(features)
@@ -264,7 +320,17 @@ def _run_rnn(
                 use_pallas=use_pallas,
                 name=f"{tag}_layer{layer}",
             )(h_in, mask, train=train)
+            if residual and layer > 0:
+                # Fork variant (SURVEY.md §2.2 "residual stacks"):
+                # identity skip between equal-width stacked layers
+                # (layer 0 projects D -> H, so the skip starts at 1).
+                outputs = outputs + h_in
             h_in = outputs
+        if residual:
+            # "last" must see the residual-summed output, not the top
+            # cell's internal state. Masked steps pass the carry through,
+            # so the boundary frame holds the last valid output.
+            final_h = h_in[0] if reverse else h_in[-1]
         return h_in, final_h
 
     outs_fw, last_fw = stack(False, "fw")
@@ -287,13 +353,18 @@ class _RnnModelBase(nn.Module):
     hp: ModelHParams
     cell: str = "lstm"
     bidirectional: bool = False
+    force_layer_norm: bool = False  # class-level override of the flag
 
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
         hp = self.hp
+        layer_norm = self.force_layer_norm or hp.lstm_layer_norm
         if self.cell == "lstm":
-            cls, layers, hidden = _LstmLayer, hp.lstm_layers, hp.lstm_cells
+            layers, hidden = hp.lstm_layers, hp.lstm_cells
+            cls = functools.partial(_LstmLayer, layer_norm=layer_norm)
         else:
+            # layer-norm cells are an LSTM-family variant (the TF fork's
+            # LayerNormBasicLSTMCell has no GRU counterpart).
             cls, layers, hidden = _GruLayer, hp.gru_layers, hp.gru_cells
         pooled = _run_rnn(
             cls,
@@ -305,7 +376,8 @@ class _RnnModelBase(nn.Module):
             bidirectional=self.bidirectional,
             pooling=hp.lstm_pooling,
             train=train,
-            use_pallas=hp.lstm_use_pallas,
+            use_pallas=hp.lstm_use_pallas and not layer_norm,
+            residual=hp.rnn_residual,
         )
         return make_classifier_head(hp)(pooled)
 
@@ -332,3 +404,13 @@ class BiLstmModel(_RnnModelBase):
 class BiGruModel(_RnnModelBase):
     cell: str = "gru"
     bidirectional: bool = True
+
+
+@register("LayerNormLstmModel", frame_level=True)
+class LayerNormLstmModel(_RnnModelBase):
+    """Stacked layer-norm LSTM (fork variant; also reachable as
+    --model=LstmModel --lstm_layer_norm=true)."""
+
+    cell: str = "lstm"
+    bidirectional: bool = False
+    force_layer_norm: bool = True
