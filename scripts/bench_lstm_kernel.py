@@ -2,7 +2,18 @@
 """On-chip LSTM kernel vs lax.scan: correctness + step time.
 
 Data generated on device (the axon tunnel makes large host->device
-transfers misleadingly slow)."""
+transfers misleadingly slow).
+
+Methodology (r2 correction): both sides are timed inside a jit whose
+output is a small REDUCTION of the recurrence outputs. Returning the
+raw [F, B, H] outputs (75-150 MB per call) adds ~7 ms of per-call
+buffer overhead through the axon relay and exaggerated the r1 ratio
+(14.6 vs 75.8 ms, "5.2x"); the honest in-graph numbers are ~4.2 ms vs
+~5.8 ms (1.36x) at F=300, B=128, H=1024. In real model graphs the
+outputs feed pooling/next-layer ops inside the same jit, so the
+reduced-consumer timing is the representative one. The train-step
+margin of the custom-VJP kernel path is measured separately by
+bench_train.py (chained donated steps; ~1.9x vs the scan path)."""
 
 import sys
 import time
@@ -44,19 +55,32 @@ def main():
     )
 
     # device_get forces a real sync (axon block_until_ready returns
-    # early; scripts/check_timing_sanity.py).
-    t0 = time.time()
-    for _ in range(5):
+    # early; scripts/check_timing_sanity.py). Reduced consumers keep
+    # per-call output-buffer overhead out of the measurement (see
+    # module docstring).
+    @jax.jit
+    def kern_red(xp, nf, wh, bias):
         outs, (fc, fh) = lstm_recurrence(xp, nf, wh, bias)
-    _ = jax.device_get(fh)
-    tk = (time.time() - t0) / 5
+        return jnp.sum(fh) + jnp.sum(outs[-1])
+
+    @jax.jit
+    def scan_red(xp, nf, wh, bias):
+        outs, (fc, fh) = lstm_recurrence_reference(xp, nf, wh, bias)
+        return jnp.sum(fh) + jnp.sum(outs[-1])
+
+    steps = 30
+    _ = jax.device_get(kern_red(xp, nf, wh, bias))
     t0 = time.time()
-    for _ in range(5):
-        outs_r, (fc_r, fh_r) = lstm_recurrence_reference(
-            xp, nf, wh, bias
-        )
-    _ = jax.device_get(fh_r)
-    ts = (time.time() - t0) / 5
+    for _ in range(steps):
+        out = kern_red(xp, nf, wh, bias)
+    _ = jax.device_get(out)
+    tk = (time.time() - t0) / steps
+    _ = jax.device_get(scan_red(xp, nf, wh, bias))
+    t0 = time.time()
+    for _ in range(steps):
+        out = scan_red(xp, nf, wh, bias)
+    _ = jax.device_get(out)
+    ts = (time.time() - t0) / steps
     print(
         f"kernel {tk*1e3:.1f}ms scan {ts*1e3:.1f}ms "
         f"speedup {ts/tk:.2f}x",
