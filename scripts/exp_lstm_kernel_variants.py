@@ -198,12 +198,17 @@ def main():
           xp, nf, wh, bias)
     base = timed("base copy", run, xp, nf, wh, bias, mode="base")
     timed("nogate (diagnostic)", run, xp, nf, wh, bias, mode="nogate")
-    packed = timed("packed gates", run, xp, nf, wh, bias, mode="packed")
-    dual = timed("dual half-tiles", run, xp, nf, wh, bias, mode="dual")
-    # dual must be numerically identical to base
-    import numpy as np
-    print("dual vs base max|dh|:",
-          float(jnp.max(jnp.abs(dual[1] - base[1]))))
+    timed("packed gates", run, xp, nf, wh, bias, mode="packed")
+    try:
+        dual = timed("dual half-tiles", run, xp, nf, wh, bias, mode="dual")
+        print("dual vs base max|dh|:",
+              float(jnp.max(jnp.abs(dual[1] - base[1]))))
+    except Exception as e:  # VMEM-bound on v5e (concat doubles stack)
+        print(f"dual half-tiles: FAIL {type(e).__name__} (VMEM OOM on "
+              f"v5e — concatenate doubles the scoped stack)")
+    # Findings (r2, on-chip): nogate == base (transcendentals fully
+    # hidden); packed no change; per-step cost is per-TIMESTEP (DMA +
+    # VPU chain), not per-grid-step — see BENCH_NOTES.
 
 
 if __name__ == "__main__":
