@@ -17,6 +17,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -o libyt8m_io.so yt8m_io.cc
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -477,6 +478,42 @@ int yt8m_reader_next_video_batch(Reader* r, int batch, float* features,
     ++n;
   }
   return n;
+}
+
+// ---- Kaggle CSV formatting (reference: inference.py :: format_lines) ----
+// ids: n fixed-stride byte rows (NUL-padded, the reader's id layout);
+// values [n,k] f32, indices [n,k] i32. Emits one line per row —
+// "id,cls p cls p ...\n" with "%i %g" pairs ordered by descending value
+// (stable, matching np.argsort(-v, kind="stable")). Returns bytes
+// written, or -1 if out_cap could be exceeded. Python's "%g" is C's
+// "%g", so output is byte-identical to the Python formatter.
+int64_t yt8m_format_topk(const char* ids, int id_stride,
+                         const float* values, const int32_t* indices,
+                         int n, int k, char* out, int64_t out_cap) {
+  std::vector<int> order(k);
+  char* p = out;
+  char* end = out + out_cap;
+  for (int i = 0; i < n; ++i) {
+    const float* v = values + static_cast<size_t>(i) * k;
+    const int32_t* ix = indices + static_cast<size_t>(i) * k;
+    for (int j = 0; j < k; ++j) order[j] = j;
+    std::stable_sort(order.begin(), order.end(),
+                     [&](int a, int b) { return v[a] > v[b]; });
+    const char* id = ids + static_cast<size_t>(i) * id_stride;
+    size_t id_len = strnlen(id, id_stride);
+    // worst case per pair: " " + 11-digit int + " " + "%g" (<= 13 chars)
+    if (p + id_len + 2 + static_cast<size_t>(k) * 32 > end) return -1;
+    memcpy(p, id, id_len);
+    p += id_len;
+    *p++ = ',';
+    for (int j = 0; j < k; ++j) {
+      if (j) *p++ = ' ';
+      p += snprintf(p, 32, "%i %g", static_cast<int>(ix[order[j]]),
+                    static_cast<double>(v[order[j]]));
+    }
+    *p++ = '\n';
+  }
+  return p - out;
 }
 
 }  // extern "C"

@@ -127,3 +127,23 @@ def test_make_batch_iterator_prefers_native(tmp_path):
     cfg = ReaderConfig.video_level(num_classes=C)
     it = make_batch_iterator([p1], cfg, 4)
     assert isinstance(it, NativeBatchIterator)
+
+
+def test_native_csv_formatter_byte_identical():
+    """cpp yt8m_format_topk output == Python format_lines, including
+    ties (stable order), exponent-notation values, and short ids."""
+    import numpy as np
+    from yt8m_tpu.infer.predict import format_lines, format_lines_text
+
+    rng = np.random.default_rng(3)
+    n, k = 37, 20
+    vals = rng.random((n, k)).astype(np.float32)
+    vals[0, :] = 0.25          # all ties -> stable original order
+    vals[1, :5] = 1e-7         # %g exponent notation
+    vals[2, 0] = 0.0
+    idxs = rng.integers(0, 4716, (n, k)).astype(np.int32)
+    ids = [f"vid{i:08d}".encode() for i in range(n)]
+    ids[5] = b"s"
+    want = "".join(format_lines(ids, vals, idxs))
+    got = format_lines_text(ids, vals, idxs)
+    assert got == want

@@ -88,6 +88,11 @@ def get_native_lib():
             ctypes.c_void_p, ctypes.c_int, f32p, i32p, i32p,
             ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_void_p,
         ]
+        lib.yt8m_format_topk.restype = ctypes.c_int64
+        lib.yt8m_format_topk.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, f32p, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_char_p, ctypes.c_int64,
+        ]
         _lib_handle = lib
         return lib
 

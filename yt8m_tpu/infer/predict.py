@@ -10,6 +10,7 @@ back to the host per batch.
 
 from __future__ import annotations
 
+import ctypes
 import gzip
 import logging
 import os
@@ -44,6 +45,36 @@ def format_lines(video_ids, top_values, top_indices):
         vid_str = vid.decode() if isinstance(vid, bytes) else str(vid)
         lines.append(f"{vid_str},{pairs}\n")
     return lines
+
+
+def format_lines_text(video_ids, top_values, top_indices) -> str:
+    """format_lines via the native formatter (cpp/yt8m_io.cc ::
+    yt8m_format_topk, byte-identical "%i %g" output, ~20x the Python
+    formatter on one core); falls back to the Python path when the
+    native library is unavailable. Returns one string."""
+    from yt8m_tpu.data.pipeline import get_native_lib
+
+    lib = get_native_lib()
+    n = len(video_ids)
+    if lib is None or n == 0:
+        return "".join(format_lines(video_ids, top_values, top_indices))
+    ids_arr = np.asarray(
+        [v if isinstance(v, bytes) else str(v).encode()
+         for v in video_ids],
+        dtype="S",
+    )
+    stride = ids_arr.dtype.itemsize
+    values = np.ascontiguousarray(top_values, np.float32)
+    indices = np.ascontiguousarray(top_indices, np.int32)
+    k = values.shape[1]
+    cap = n * (stride + 2 + 32 * k)
+    out = ctypes.create_string_buffer(cap)
+    written = lib.yt8m_format_topk(
+        ids_arr.tobytes(), stride, values, indices, n, k, out, cap
+    )
+    if written < 0:  # cannot happen with the cap above; belt-and-braces
+        return "".join(format_lines(video_ids, top_values, top_indices))
+    return out.raw[:written].decode()
 
 
 def inference(config: InferenceConfig, state=None) -> dict:
@@ -94,7 +125,7 @@ def inference(config: InferenceConfig, state=None) -> dict:
         if topk_out is not None:
             values = np.asarray(jax.device_get(topk_out[0]))[keep]
             indices = np.asarray(jax.device_get(topk_out[1]))[keep]
-            f.writelines(format_lines(ids, values, indices))
+            f.write(format_lines_text(ids, values, indices))
         if dense_out is not None:
             dense = np.asarray(jax.device_get(dense_out))[keep]
             np.savez_compressed(
