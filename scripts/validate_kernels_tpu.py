@@ -125,6 +125,51 @@ def main():
     err = float(jnp.mean(jnp.abs(fh - fh_r)))
     print(f"gru TPU: {time.time()-t0:.1f}s mean_err={err:.5f}", flush=True)
     assert err < 0.01
+
+    from yt8m_tpu.kernels.dbof import (
+        dbof_cluster_maxpool,
+        dbof_cluster_maxpool_reference,
+        dbof_cluster_maxpool_v2,
+        dbof_sampled_cluster_maxpool,
+    )
+
+    bd, sd, dd, kd = 64, 30, 1152, 2048
+    xs = rng.integers(0, 256, size=(bd, sd, dd), dtype=np.uint8)
+    wd = (rng.normal(0, 0.05, size=(dd, kd))).astype(np.float32)
+    si = rng.uniform(0.5, 1.5, dd).astype(np.float32)
+    bi = (rng.normal(0, 0.1, dd)).astype(np.float32)
+    sa = rng.uniform(0.5, 1.5, kd).astype(np.float32)
+    ba = (rng.normal(0, 0.1, kd)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (xs, wd, si, bi, sa, ba)))
+    t0 = time.time()
+    ref = dbof_cluster_maxpool_reference(
+        jnp.asarray(xs).astype(jnp.float32), *args[1:]
+    )
+    for name, fn in (
+        ("dbof v1", dbof_cluster_maxpool),
+        ("dbof v2", dbof_cluster_maxpool_v2),
+    ):
+        got = fn(*args)
+        jax.block_until_ready(got)
+        err = float(jnp.max(jnp.abs(got - ref)))
+        print(f"{name} TPU: {time.time()-t0:.1f}s max_err={err:.4f}",
+              flush=True)
+        assert err < 0.05
+
+    xfull = rng.integers(0, 256, size=(bd, 300, dd), dtype=np.uint8)
+    idx = rng.integers(0, 300, size=(bd, sd)).astype(np.int32)
+    got = dbof_sampled_cluster_maxpool(
+        jnp.asarray(xfull), jnp.asarray(idx), *args[1:]
+    )
+    jax.block_until_ready(got)
+    xsel = np.take_along_axis(xfull, idx[:, :, None], axis=1)
+    ref = dbof_cluster_maxpool_reference(
+        jnp.asarray(xsel).astype(jnp.float32), *args[1:]
+    )
+    err = float(jnp.max(jnp.abs(got - ref)))
+    print(f"dbof sampled TPU: {time.time()-t0:.1f}s max_err={err:.4f}",
+          flush=True)
+    assert err < 0.05
     print("ALL KERNELS TPU OK", flush=True)
 
 
