@@ -177,3 +177,61 @@ def test_train_path_unchanged_by_kernel_flag(monkeypatch):
         mutable=["batch_stats"],
     )
     assert not calls
+
+
+def test_int8_kernel_close_to_oracle():
+    """Opt-in int8 path: input-side math exact, only W quantization
+    deviates — bounded relative to the activation scale."""
+    rng = np.random.default_rng(7)
+    b, s, d, k = 16, 7, 256, 256
+    x = rng.integers(0, 256, size=(b, s, d), dtype=np.uint8)
+    w = rng.normal(size=(d, k)).astype(np.float32) * 0.05
+    s_in = rng.uniform(0.012, 0.018, d).astype(np.float32)
+    b_in = rng.normal(-2, 0.1, d).astype(np.float32)
+    s_act = rng.uniform(0.5, 1.5, k).astype(np.float32)
+    b_act = rng.normal(0, 0.1, k).astype(np.float32)
+    from yt8m_tpu.kernels.dbof import dbof_cluster_maxpool_int8
+
+    got = dbof_cluster_maxpool_int8(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(s_in),
+        jnp.asarray(b_in), jnp.asarray(s_act), jnp.asarray(b_act),
+        interpret=True, block_b=8, block_k=128,
+    )
+    want = dbof_cluster_maxpool_reference(
+        jnp.asarray(x).astype(jnp.float32), jnp.asarray(w),
+        jnp.asarray(s_in), jnp.asarray(b_in), jnp.asarray(s_act),
+        jnp.asarray(b_act),
+    )
+    scale = float(jnp.mean(jnp.abs(want))) + 1e-9
+    err = float(jnp.max(jnp.abs(got - want))) / scale
+    assert err < 0.10, f"int8 deviation {err:.2%} of activation scale"
+
+
+def test_int8_serving_flag_dispatches(monkeypatch):
+    import yt8m_tpu.kernels.dbof as mod
+
+    real = mod.dbof_cluster_maxpool_int8
+    calls = []
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mod, "dbof_cluster_maxpool_int8", counting)
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(8)
+    feats = rng.integers(0, 256, size=(B, 10, D), dtype=np.uint8)
+    nf = np.full((B,), 10, np.int32)
+    hp8 = HP.replace(dbof_int8_serving=True)
+    model = get_model("DbofModel", hp8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(feats), jnp.asarray(nf), train=False,
+    )
+    out = model.apply(
+        variables, jnp.asarray(feats), jnp.asarray(nf), train=False,
+        rngs={"sample": jax.random.PRNGKey(3)},
+    )
+    assert calls, "int8 flag did not dispatch to the int8 kernel"
+    preds = np.asarray(out["predictions"])
+    assert np.all((preds >= 0) & (preds <= 1))

@@ -248,6 +248,130 @@ def dbof_cluster_maxpool_v2(
     return out[:b]
 
 
+def _kernel_int8(
+    x_ref,        # [BB, S, D] int8 (raw u8 bytes XOR 0x80, i.e. u8-128)
+    w8_ref,       # [D, KT] int8 (per-column symmetric quant of s_in*W)
+    a_ref,        # [1, KT] f32 — per-column scale (gamma * act_scale)
+    b_ref,        # [1, KT] f32 — folded bias (see wrapper)
+    out_ref,      # [BB, KT]
+    xi_ref,       # scratch [BB*S, D] int8
+    *,
+    unused: bool = False,
+):
+    bb, s, d = x_ref.shape
+    kt = w8_ref.shape[1]
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        xi_ref[...] = x_ref[...].reshape(bb * s, d)
+
+    acc = jax.lax.dot_general(
+        xi_ref[...],
+        w8_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    act = jnp.maximum(
+        acc.astype(jnp.float32) * a_ref[...] + b_ref[...], 0.0
+    )
+    out_ref[...] = jnp.max(act.reshape(bb, s, kt), axis=1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_b", "block_k")
+)
+def dbof_cluster_maxpool_int8(
+    x,          # [B, S, D] uint8 (sampled frames, raw bytes)
+    w,          # [D, K] f32 cluster weights
+    in_scale,   # [D] f32 (dequant x input-BN fold)
+    in_bias,    # [D] f32
+    act_scale,  # [K] f32
+    act_bias,   # [K] f32
+    interpret: bool = False,
+    block_b: int = 64,
+    block_k: int = 512,
+):
+    """Opt-in int8 MXU serving path (--dbof_int8_serving).
+
+    The input-side math is EXACT: features are raw uint8 integers, so
+    dequantize + input-BN affine fold into the weights —
+        (x*s_in + b_in) @ W = x @ (s_in.W) + b_in @ W.
+    x rides the MXU as (x-128) int8 (byte XOR 0x80), corrected by a
+    precomputed 128*colsum term. The ONLY approximation is per-column
+    symmetric int8 quantization of W' = s_in.W (max |W'_dk| -> 127),
+    i.e. <=0.4% of the column max per weight — measured ~1.6x the bf16
+    v2 kernel on the serving hot section. Default OFF: the bf16 path is
+    the reference-numerics serving contract (BENCH_NOTES r2).
+    """
+    if x.dtype != jnp.uint8:
+        raise ValueError("int8 serving path requires uint8 features")
+    b, s, d = x.shape
+    k = w.shape[1]
+
+    w_prime = in_scale[:, None].astype(jnp.float32) * w  # [D, K]
+    gamma = jnp.maximum(jnp.max(jnp.abs(w_prime), axis=0), 1e-12) / 127.0
+    w8 = jnp.clip(jnp.round(w_prime / gamma[None, :]), -127, 127).astype(
+        jnp.int8
+    )
+    colsum = jnp.sum(w8.astype(jnp.float32), axis=0)  # [K]
+    c = in_bias.astype(jnp.float32) @ w  # [K]
+    a_col = gamma * act_scale  # acc scale
+    b_col = (128.0 * colsum * gamma + c) * act_scale + act_bias
+
+    xi = jax.lax.bitcast_convert_type(
+        jnp.bitwise_xor(x, jnp.uint8(0x80)), jnp.int8
+    )
+
+    bb = min(block_b, b)
+    b_pad = ((b + bb - 1) // bb) * bb
+    if b_pad != b:
+        xi = jnp.pad(xi, ((0, b_pad - b), (0, 0), (0, 0)))
+    kt = k if k < block_k else block_k
+    if k % kt:
+        raise ValueError(f"cluster_size {k} not divisible by tile {kt}")
+
+    out = pl.pallas_call(
+        _kernel_int8,
+        grid=(b_pad // bb, k // kt),
+        in_specs=[
+            pl.BlockSpec(
+                (bb, s, d), lambda bi, ki: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (d, kt), lambda bi, ki: (0, ki), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, kt), lambda bi, ki: (0, ki), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, kt), lambda bi, ki: (0, ki), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bb, kt), lambda bi, ki: (bi, ki), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((bb * s, d), jnp.int8),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * s * d * k,
+            bytes_accessed=b_pad * s * d
+            + (b_pad // bb) * d * k + b_pad * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(
+        xi,
+        w8,
+        a_col.reshape(1, k).astype(jnp.float32),
+        b_col.reshape(1, k).astype(jnp.float32),
+    )
+    return out[:b]
+
+
 _S_PAD = 32  # scratch rows per video (S rounded up; bf16 tile-aligned)
 
 

@@ -186,10 +186,20 @@ class _DbofBase(nn.Module):
                 # fold dequantize into the input affine
                 b_in = DEQUANT_BIAS * s_in + b_in
                 s_in = DEQUANT_SCALE * s_in
-            pooled = dbof_cluster_maxpool_v2(
-                x_raw, cluster_kernel, s_in, b_in, s_act, b_act,
-                interpret=interpret,
-            )
+            if hp.dbof_int8_serving and x_raw.dtype == jnp.uint8:
+                from yt8m_tpu.kernels.dbof import (
+                    dbof_cluster_maxpool_int8,
+                )
+
+                pooled = dbof_cluster_maxpool_int8(
+                    x_raw, cluster_kernel, s_in, b_in, s_act, b_act,
+                    interpret=interpret,
+                )
+            else:
+                pooled = dbof_cluster_maxpool_v2(
+                    x_raw, cluster_kernel, s_in, b_in, s_act, b_act,
+                    interpret=interpret,
+                )
         else:
             # Dequantize AFTER sampling: only S of 300 frames pay the
             # cast.

@@ -29,6 +29,12 @@ class ModelHParams:
     dbof_pooling_method: str = "max"  # max | average
     # fused cluster+maxpool kernel on the inference path (kernels/dbof.py)
     dbof_use_pallas: bool = True
+    # Opt-in int8 MXU serving path: per-column symmetric int8 quant of
+    # the (dequant+BN-folded) cluster weights; ~1.4x the bf16 kernel on
+    # the serving hot section (5.8 vs 8.2 ms at B=2048, K=8192) at the
+    # cost of <=0.4%-of-column-max weight rounding. Default OFF — the
+    # bf16 kernel is the reference-numerics serving contract.
+    dbof_int8_serving: bool = False
     dbof_add_batch_norm: bool = True
     sample_random_frames: bool = True
     iterations: int = 30  # frames sampled per video
