@@ -285,13 +285,22 @@ void yt8m_reader_add_file(Reader* r, const char* path) {
 void yt8m_reader_free(Reader* r) { delete r; }
 
 // Frame-level batch. Buffers (caller-allocated):
-//   features   u8 [batch, max_frames, sum(sizes)]   (zero-filled here)
+//   features   u8 [batch, max_frames, sum(sizes)]  (MUST arrive zeroed)
 //   num_frames i32 [batch]
 //   label_off  i32 [batch + 1]
 //   labels     i32 [labels_cap]
 //   ids        char [batch * id_stride]
-//   distill    f32 [batch * distill_dim] (may be null)
+//   distill    f32 [batch * distill_dim] (may be null; MUST arrive zeroed)
 // Returns number of videos written (0 = end of data), or -1 on error.
+//
+// CONTRACT: `features` must be ZERO-INITIALIZED by the caller (e.g.
+// np.zeros — a fresh calloc'd buffer is kernel zero pages, so the
+// guarantee is free). The parser writes ONLY the real frame rows;
+// padding tails are never touched. Zeroing tails here was measured at
+// ~48 us/video (as much as the data copy itself) and, worse, forces
+// write faults on pages that would otherwise stay untouched virtual
+// zero pages — removing it took the harness from 7.6k to 12.9k
+// videos/s/core (see BENCH_NOTES).
 int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
                                  int32_t* num_frames, int32_t* label_off,
                                  int32_t* labels, int labels_cap, char* ids,
@@ -301,12 +310,6 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
   for (int s : r->feature_sizes) total_dim += s;
   const size_t video_bytes =
       static_cast<size_t>(r->max_frames) * total_dim;
-  // No bulk memset: each feature's unwritten tail rows are zeroed
-  // per video below (the full-batch memset cost ~0.35 GB/s of the
-  // parser's single-core budget). Videos beyond the returned count
-  // are left untouched — batch_mask excludes them downstream.
-  if (distill && r->distill_dim)
-    memset(distill, 0, sizeof(float) * batch * r->distill_dim);
 
   int n = 0;
   int label_cursor = 0;
@@ -325,9 +328,6 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
     // feature_lists: copy each named list's per-frame bytes.
     uint8_t* vid_base = features + static_cast<size_t>(n) * video_bytes;
     int nf = -1;
-    // rows written per feature (dense prefixes); used to zero only the
-    // unwritten tails instead of memsetting the whole batch buffer.
-    std::vector<int> written(r->feature_names.size(), 0);
     if (lists.data) {
       for_each_field(lists, [&](uint32_t f, uint32_t w, Slice entry) {
         if (f != 1 || w != 2) return;
@@ -369,23 +369,9 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
           }
           ++t;
         });
-        written[feat_idx] =
-            t > r->max_frames ? r->max_frames : t;
+        (void)feat_idx;
         if (t > nf) nf = t;
       });
-    }
-    // zero each feature's unwritten tail rows (and whole column block
-    // for features absent from this record)
-    {
-      int col = 0;
-      for (size_t i = 0; i < r->feature_names.size(); ++i) {
-        const int size = r->feature_sizes[i];
-        for (int t = written[i]; t < r->max_frames; ++t) {
-          memset(vid_base + static_cast<size_t>(t) * total_dim + col, 0,
-                 size);
-        }
-        col += size;
-      }
     }
     num_frames[n] = nf < 0 ? 0
                     : (nf > r->max_frames ? r->max_frames : nf);
