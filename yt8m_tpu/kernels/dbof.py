@@ -255,8 +255,6 @@ def _kernel_int8(
     b_ref,        # [1, KT] f32 — folded bias (see wrapper)
     out_ref,      # [BB, KT]
     xi_ref,       # scratch [BB*S, D] int8
-    *,
-    unused: bool = False,
 ):
     bb, s, d = x_ref.shape
     kt = w8_ref.shape[1]
