@@ -91,6 +91,44 @@ def test_cli_ensemble_fit_and_csv(setup, capsys):
     assert len(lines) == 33
 
 
+def test_sparse_topk_dump_matches_dense(setup):
+    """--output_probabilities_topk dumps sparse top-N chunks that densify
+    to the dense dump's values at the tracked positions (zeros elsewhere,
+    fork pre-ensemble storage semantics)."""
+    import numpy as np
+
+    from yt8m_tpu.ensemble.average import load_prediction_dir
+
+    root, data, members = setup
+    sparse_dir = os.path.join(root, "preds0_sparse")
+    inference(
+        InferenceConfig(
+            input_data_pattern=os.path.join(data, "validate-*.tfrecord"),
+            feature_names="mean_rgb,mean_audio",
+            feature_sizes="16,4",
+            num_classes=C,
+            batch_size=16,
+            model="MoeModel",
+            train_dir=os.path.join(root, "member0"),
+            output_probabilities_dir=sparse_dir,
+            output_probabilities_topk=5,
+            hparams=HP,
+        )
+    )
+    ids_d, dense = load_prediction_dir(members[0])
+    ids_s, sparse = load_prediction_dir(sparse_dir)
+    assert ids_d == ids_s
+    assert sparse.shape == dense.shape
+    nz = sparse > 0
+    assert nz.sum(axis=1).max() <= 5
+    np.testing.assert_allclose(sparse[nz], dense[nz], rtol=1e-6)
+    # every row's top-5 of the dense dump is exactly the sparse support
+    top5 = np.argsort(-dense, axis=1, kind="stable")[:, :5]
+    for r in range(dense.shape[0]):
+        kept = set(np.flatnonzero(nz[r]).tolist())
+        assert kept <= set(top5[r].tolist()) or len(kept) < 5
+
+
 def test_checkpoint_ensembling(setup):
     from yt8m_tpu.ensemble.checkpoints import (
         ensemble_checkpoint_predictions,

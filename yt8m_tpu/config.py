@@ -144,6 +144,10 @@ class InferenceConfig:
     # f16 quantization creates exact ties / 3-decimal resolution in the
     # files used for GAP weight-fitting (0.1%-parity north star).
     output_probabilities_dtype: str = "float32"
+    # >0: dump top-N sparse probabilities per video instead of the dense
+    # [N, num_classes] matrix (the fork's pre-ensemble storage format —
+    # full f32 precision at ~1% of the dense size for N=50 vs 4716).
+    output_probabilities_topk: int = 0
     seed: int = 0
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
 

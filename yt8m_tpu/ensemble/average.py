@@ -20,7 +20,13 @@ from yt8m_tpu.metrics import calculate_gap
 
 
 def load_prediction_dir(directory: str) -> Tuple[List[str], np.ndarray]:
-    """Concatenate predictions-*.npz chunks -> (ids, [N, C] float32)."""
+    """Concatenate predictions-*.npz chunks -> (ids, [N, C] float32).
+
+    Accepts both dump formats written by infer.predict: dense chunks
+    (`predictions` [n, C]) and sparse top-N chunks (`values`/`indices`
+    [n, k] + `num_classes`, --output_probabilities_topk); sparse chunks
+    densify with zeros for the untracked classes (fork semantics).
+    """
     paths = sorted(glob.glob(os.path.join(directory, "predictions-*.npz")))
     if not paths:
         raise IOError(f"no prediction chunks in {directory}")
@@ -29,7 +35,16 @@ def load_prediction_dir(directory: str) -> Tuple[List[str], np.ndarray]:
     for p in paths:
         with np.load(p, allow_pickle=False) as z:
             ids.extend(z["ids"].tolist())
-            preds.append(z["predictions"].astype(np.float32))
+            if "predictions" in z:
+                preds.append(z["predictions"].astype(np.float32))
+            else:
+                values = z["values"].astype(np.float32)
+                indices = z["indices"].astype(np.int64)
+                dense = np.zeros(
+                    (values.shape[0], int(z["num_classes"])), np.float32
+                )
+                np.put_along_axis(dense, indices, values, axis=1)
+                preds.append(dense)
     return ids, np.concatenate(preds, axis=0)
 
 

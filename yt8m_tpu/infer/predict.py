@@ -95,9 +95,17 @@ def inference(config: InferenceConfig, state=None) -> dict:
     )
 
     topk_step = make_topk_predict_step(model, cfg.top_k)
-    dense_step = (
-        make_predict_step(model) if cfg.output_probabilities_dir else None
-    )
+    dump_topk = int(cfg.output_probabilities_topk or 0)
+    dense_step = None
+    sparse_step = None
+    if cfg.output_probabilities_dir:
+        if dump_topk > 0:
+            # Fork-style sparse pre-ensemble storage: top-N (value, index)
+            # pairs per video at full f32 precision (~1% of the dense size
+            # at N=50 vs 4716 classes); missing classes densify to 0.
+            sparse_step = make_topk_predict_step(model, dump_topk)
+        else:
+            dense_step = make_predict_step(model)
     rng = jax.random.PRNGKey(cfg.seed)
 
     out_file = cfg.output_file
@@ -120,25 +128,36 @@ def inference(config: InferenceConfig, state=None) -> dict:
     pending = None
 
     def _drain(p, n_chunks):
-        topk_out, dense_out, ids_all, keep = p
+        topk_out, dense_out, sparse_out, ids_all, keep = p
         ids = [v for v, m in zip(ids_all, keep) if m]
         if topk_out is not None:
             values = np.asarray(jax.device_get(topk_out[0]))[keep]
             indices = np.asarray(jax.device_get(topk_out[1]))[keep]
             f.write(format_lines_text(ids, values, indices))
-        if dense_out is not None:
-            dense = np.asarray(jax.device_get(dense_out))[keep]
-            np.savez_compressed(
-                os.path.join(
-                    cfg.output_probabilities_dir,
-                    f"predictions-{n_chunks:05d}.npz",
-                ),
-                ids=np.asarray(
-                    [i.decode() if isinstance(i, bytes) else str(i)
-                     for i in ids]
-                ),
-                predictions=dense.astype(dump_dtype),
+        if dense_out is not None or sparse_out is not None:
+            path = os.path.join(
+                cfg.output_probabilities_dir,
+                f"predictions-{n_chunks:05d}.npz",
             )
+            ids_arr = np.asarray(
+                [i.decode() if isinstance(i, bytes) else str(i)
+                 for i in ids]
+            )
+            if dense_out is not None:
+                dense = np.asarray(jax.device_get(dense_out))[keep]
+                np.savez_compressed(
+                    path, ids=ids_arr, predictions=dense.astype(dump_dtype)
+                )
+            else:
+                values = np.asarray(jax.device_get(sparse_out[0]))[keep]
+                indices = np.asarray(jax.device_get(sparse_out[1]))[keep]
+                np.savez_compressed(
+                    path,
+                    ids=ids_arr,
+                    values=values.astype(dump_dtype),
+                    indices=indices.astype(np.int32),
+                    num_classes=np.int32(cfg.num_classes),
+                )
             n_chunks += 1
         return n_chunks
 
@@ -182,9 +201,14 @@ def inference(config: InferenceConfig, state=None) -> dict:
                 if dense_step is not None
                 else None
             )
+            sparse_out = (
+                sparse_step(state, device_batch, rng)
+                if sparse_step is not None
+                else None
+            )
             if pending is not None:
                 n_chunks = _drain(pending, n_chunks)
-            pending = (topk_out, dense_out, batch["id"], keep)
+            pending = (topk_out, dense_out, sparse_out, batch["id"], keep)
             n_videos += int(keep.sum())
         if pending is not None:
             n_chunks = _drain(pending, n_chunks)
