@@ -147,3 +147,59 @@ def test_native_csv_formatter_byte_identical():
     want = "".join(format_lines(ids, vals, idxs))
     got = format_lines_text(ids, vals, idxs)
     assert got == want
+
+
+def test_threaded_reader_covers_all_videos_and_content(tmp_path):
+    """num_readers>1 default: thread fan-out yields every video exactly
+    once per epoch with batch content identical to the 1-reader path."""
+    import numpy as np
+    from yt8m_tpu.data.pipeline import ThreadedBatchIterator
+
+    paths, all_ids = [], []
+    for s in range(3):
+        p = str(tmp_path / f"train-{s:04d}.tfrecord")
+        ids = write_video_level_shard(p, 10, num_classes=C, seed=100 + s)
+        paths.append(p)
+        all_ids.extend(ids)
+    cfg = ReaderConfig.video_level(num_classes=C)
+    ref = {}
+    for b in NativeBatchIterator(paths, cfg, 4, num_epochs=1, prefetch=0):
+        for i, (vid, m) in enumerate(zip(b["id"], b["batch_mask"])):
+            if m:
+                ref[vid] = (b["features"][i].copy(), b["labels"][i].copy())
+    it = ThreadedBatchIterator(
+        paths, cfg, batch_size=4, num_workers=3, num_epochs=1
+    )
+    seen = {}
+    for b in it:
+        for i, (vid, m) in enumerate(zip(b["id"], b["batch_mask"])):
+            if m:
+                seen[vid] = (b["features"][i], b["labels"][i])
+    assert sorted(seen) == sorted(all_ids)
+    for vid, (f_ref, l_ref) in ref.items():
+        np.testing.assert_array_equal(seen[vid][0], f_ref)
+        np.testing.assert_array_equal(seen[vid][1], l_ref)
+
+
+def test_make_batch_iterator_threads_by_default(tmp_path):
+    from yt8m_tpu.data.pipeline import (
+        MultiprocessBatchIterator,
+        ThreadedBatchIterator,
+    )
+
+    paths = []
+    for s in range(2):
+        p = str(tmp_path / f"t-{s}.tfrecord")
+        write_video_level_shard(p, 4, num_classes=C, seed=s)
+        paths.append(p)
+    cfg = ReaderConfig.video_level(num_classes=C)
+    assert isinstance(
+        make_batch_iterator(paths, cfg, 4, num_readers=2),
+        ThreadedBatchIterator,
+    )
+    assert isinstance(
+        make_batch_iterator(
+            paths, cfg, 4, num_readers=2, reader_processes=True
+        ),
+        MultiprocessBatchIterator,
+    )

@@ -23,9 +23,11 @@ class TrainConfig:
     max_frames: int = 300
     batch_size: int = 1024
     num_epochs: Optional[int] = 5
-    # reference default was 8 queue-runner threads; here it is the
-    # number of parser worker PROCESSES (1 = in-process native parser)
+    # reference default was 8 queue-runner threads; same semantics here:
+    # N parser worker THREADS over disjoint file shards (the C++ parser
+    # releases the GIL). --reader_processes switches to process workers.
     num_readers: int = 1
+    reader_processes: bool = False
 
     # model / loss selection
     model: str = "LogisticModel"
@@ -101,6 +103,7 @@ class EvalConfig:
     train_dir: str = "/tmp/yt8m_model/"
     run_once: bool = True
     num_readers: int = 1
+    reader_processes: bool = False
     top_k: int = 20
     checkpoint_step: Optional[int] = None
     seed: int = 0
@@ -138,6 +141,7 @@ class InferenceConfig:
     top_k: int = 20
     checkpoint_step: Optional[int] = None
     num_readers: int = 1
+    reader_processes: bool = False
     # pre-ensemble dump of dense probabilities (fork inference-pre-ensemble)
     output_probabilities_dir: str = ""
     # Dtype for pre-ensemble dense probability dumps. float32 by default:

@@ -281,6 +281,93 @@ class NativeBatchIterator:
             yield item
 
 
+class ThreadedBatchIterator:
+    """Parallel parse: files fanned across reader THREADS (the reference's
+    --num_readers semantics — train.py :: get_input_data_tensors ran N
+    parse threads into shuffle_batch_join).
+
+    Each thread runs its own native reader handle over a disjoint
+    round-robin file subset; the ctypes call releases the GIL for the
+    whole C++ parse+copy, so threads genuinely parallelize on multi-core
+    hosts — and unlike the process fan-out there is NO pickle/pipe copy
+    of the 345 KB/video batches: finished numpy batch dicts are handed
+    over by reference through a bounded queue. Batch order interleaves
+    across threads (like shuffle_batch_join); every video appears exactly
+    once per epoch.
+    """
+
+    def __init__(
+        self,
+        file_pattern,
+        config: ReaderConfig,
+        batch_size: int,
+        num_workers: int = 4,
+        queue_depth: int = 2,
+        **iter_kw,
+    ):
+        if isinstance(file_pattern, str):
+            self.files = glob_files(file_pattern)
+        else:
+            self.files = list(file_pattern)
+        if not self.files:
+            raise IOError(f"no files matched {file_pattern!r}")
+        self.config = config
+        self.batch_size = batch_size
+        self.num_workers = max(1, min(num_workers, len(self.files)))
+        self.queue_depth = queue_depth
+        self.iter_kw = iter_kw
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(
+            maxsize=self.queue_depth * self.num_workers
+        )
+        sentinel = object()
+        stop = threading.Event()
+
+        def worker(files_w):
+            try:
+                it = NativeBatchIterator(
+                    files_w, self.config, self.batch_size, prefetch=0,
+                    **self.iter_kw,
+                )
+                for batch in it:
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as e:
+                q.put(e)
+            finally:
+                q.put(sentinel)
+
+        threads = []
+        for w in range(self.num_workers):
+            files_w = self.files[w :: self.num_workers]
+            if not files_w:
+                continue
+            t = threading.Thread(
+                target=worker, args=(files_w,), daemon=True
+            )
+            t.start()
+            threads.append(t)
+        live = len(threads)
+        try:
+            while live:
+                item = q.get()
+                if item is sentinel:
+                    live -= 1
+                    continue
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
 class MultiprocessBatchIterator:
     """Parallel parse: files fanned across worker processes.
 
@@ -363,14 +450,22 @@ class MultiprocessBatchIterator:
 
 
 def make_batch_iterator(
-    file_pattern, config, batch_size, num_readers: int = 1, **kw
+    file_pattern, config, batch_size, num_readers: int = 1,
+    reader_processes: bool = False, **kw
 ):
-    """Native iterator when buildable (multi-process when num_readers > 1),
-    else the Python fallback."""
+    """Native iterator when buildable (threaded fan-out when num_readers
+    > 1, the reference's parse-thread semantics; process fan-out opt-in
+    via reader_processes for GIL-heavy custom paths), else the Python
+    fallback."""
     if get_native_lib() is not None:
         try:
-            if num_readers > 1:
+            if num_readers > 1 and reader_processes:
                 return MultiprocessBatchIterator(
+                    file_pattern, config, batch_size,
+                    num_workers=num_readers, **kw,
+                )
+            if num_readers > 1:
+                return ThreadedBatchIterator(
                     file_pattern, config, batch_size,
                     num_workers=num_readers, **kw,
                 )

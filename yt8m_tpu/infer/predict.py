@@ -89,6 +89,7 @@ def inference(config: InferenceConfig, state=None) -> dict:
         rc,
         batch_size=cfg.batch_size,
         num_readers=cfg.num_readers,
+        reader_processes=cfg.reader_processes,
         shuffle=False,
         num_epochs=1,
         pad_final_batch=True,

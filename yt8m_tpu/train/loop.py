@@ -88,6 +88,7 @@ class Trainer:
                 rc,
                 batch_size=host_batch,
                 num_readers=cfg.num_readers,
+                reader_processes=cfg.reader_processes,
                 shuffle=True,
                 num_epochs=cfg.num_epochs,
                 seed=cfg.seed + _jax.process_index(),
