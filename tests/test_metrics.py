@@ -271,3 +271,107 @@ def test_gap_matches_oracle_with_tied_scores():
     assert calculate_gap(preds, acts) == pytest.approx(
         oracle_gap_by_class(preds, acts), abs=1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# Device-sparsified accumulation (accumulate_topk) equivalence.
+# ---------------------------------------------------------------------------
+
+
+def _host_topk_inputs(preds, labels, mask, big_k):
+    """Mirror train.step.make_sparse_eval_step's device outputs in numpy."""
+    order = np.argsort(-preds, axis=1, kind="stable")[:, :big_k]
+    rows = np.arange(preds.shape[0])[:, None]
+    vals = preds[rows, order].astype(np.float32)
+    lab_k = labels[rows, order].astype(np.float32)
+    pos = labels > 0
+    return (
+        vals,
+        order.astype(np.int32),
+        lab_k,
+        pos.sum(axis=1).astype(np.int32),
+        (pos & (mask > 0)[:, None]).sum(axis=0).astype(np.int32),
+    )
+
+
+def test_accumulate_topk_matches_dense():
+    """Dense accumulate() and device-sparsified accumulate_topk() give
+    bitwise-identical metrics (no-ties data, kv <= K)."""
+    rng = np.random.default_rng(11)
+    C, B, K = 40, 24, 16
+    dense = EvaluationMetrics(C, top_k=5)
+    sparse = EvaluationMetrics(C, top_k=5)
+    for step in range(4):
+        preds = rng.random((B, C)).astype(np.float32)
+        labels = (rng.random((B, C)) < 0.1).astype(np.float32)
+        if step == 1:
+            labels[0] = 0.0  # a zero-label video (PERR guard)
+        mask = np.ones((B,), np.float32)
+        if step == 3:
+            mask[-6:] = 0.0  # padded tail rows
+        loss = rng.random((B,)).astype(np.float32)
+        dense.accumulate(preds, labels, loss, mask)
+        sparse.accumulate_topk(
+            *_host_topk_inputs(preds, labels, mask, K), loss, mask
+        )
+    out_d, out_s = dense.get(), sparse.get()
+    assert out_d["gap"] == out_s["gap"]
+    assert out_d["avg_hit_at_one"] == out_s["avg_hit_at_one"]
+    assert out_d["avg_perr"] == out_s["avg_perr"]
+    assert out_d["avg_loss"] == out_s["avg_loss"]
+    np.testing.assert_array_equal(out_d["aps"], out_s["aps"])
+
+
+def test_sparse_eval_step_matches_dense_eval_step():
+    """make_sparse_eval_step's on-device outputs drive accumulate_topk to
+    the same metrics as the dense eval step + accumulate."""
+    import jax
+
+    from yt8m_tpu.models import get_model
+    from yt8m_tpu.models.hparams import ModelHParams
+    from yt8m_tpu.train import losses as losses_lib
+    from yt8m_tpu.train.state import init_train_state, make_optimizer
+    from yt8m_tpu.train.step import make_eval_step, make_sparse_eval_step
+
+    rng = np.random.default_rng(3)
+    C, B = 30, 16
+    hp = ModelHParams(compute_dtype="float32", vocab_size=C, feature_dim=12)
+    model = get_model("LogisticModel", hp)
+    loss_obj = losses_lib.get_loss("CrossEntropyLoss")
+    batch = {
+        "features": rng.random((B, 12)).astype(np.float32),
+        "labels": (rng.random((B, C)) < 0.15).astype(np.float32),
+        "num_frames": np.ones((B,), np.int32),
+        "batch_mask": np.concatenate(
+            [np.ones(B - 3, np.float32), np.zeros(3, np.float32)]
+        ),
+    }
+    tx = make_optimizer(optimizer="AdamOptimizer", global_batch_size=B)
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), batch, tx, frame_level=False
+    )
+    key = jax.random.PRNGKey(1)
+    preds, loss = make_eval_step(model, loss_obj)(state, batch, key)
+    outs = make_sparse_eval_step(model, loss_obj, 8)(state, batch, key)
+
+    dense = EvaluationMetrics(C, top_k=5)
+    sparse = EvaluationMetrics(C, top_k=5)
+    dense.accumulate(
+        np.asarray(preds), batch["labels"], np.asarray(loss),
+        batch["batch_mask"],
+    )
+    h = jax.device_get(outs)
+    sparse.accumulate_topk(
+        np.asarray(h["topk_values"]),
+        np.asarray(h["topk_indices"]),
+        np.asarray(h["topk_labels"]),
+        np.asarray(h["labels_per_video"]),
+        np.asarray(h["class_positives"]),
+        np.asarray(h["loss"]),
+        batch["batch_mask"],
+    )
+    out_d, out_s = dense.get(), sparse.get()
+    assert out_d["gap"] == pytest.approx(out_s["gap"], abs=1e-12)
+    assert out_d["avg_hit_at_one"] == out_s["avg_hit_at_one"]
+    assert out_d["avg_perr"] == pytest.approx(out_s["avg_perr"], abs=1e-12)
+    np.testing.assert_allclose(out_d["aps"], out_s["aps"], atol=1e-12)

@@ -106,6 +106,11 @@ class EvalConfig:
     reader_processes: bool = False
     top_k: int = 20
     checkpoint_step: Optional[int] = None
+    # On-device metric sparsification: ship per-video top-K triplets to
+    # the host instead of dense [B, num_classes] predictions (~25x less
+    # device->host traffic + host work at C=4716). K=64 keeps PERR exact
+    # (the pipeline caps labels/video at 64); 0 = dense host path.
+    device_metric_topk: int = 64
     seed: int = 0
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
 

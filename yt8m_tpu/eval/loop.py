@@ -24,7 +24,7 @@ from yt8m_tpu.train import losses as losses_lib
 from yt8m_tpu.train.checkpoint import CheckpointManager
 from yt8m_tpu.train.loop import reader_config_from
 from yt8m_tpu.train.state import init_train_state, make_optimizer
-from yt8m_tpu.train.step import make_eval_step
+from yt8m_tpu.train.step import make_eval_step, make_sparse_eval_step
 
 log = logging.getLogger("yt8m_tpu.eval")
 
@@ -53,7 +53,13 @@ def evaluate_checkpoint(
         pad_final_batch=True,
     )
 
-    eval_step = make_eval_step(model, loss_obj)
+    sparse_k = int(cfg.device_metric_topk or 0)
+    if sparse_k > 0:
+        # On-device sparsification: only [B, K] triplets cross back.
+        sparse_k = max(sparse_k, cfg.top_k)
+        eval_step = make_sparse_eval_step(model, loss_obj, sparse_k)
+    else:
+        eval_step = make_eval_step(model, loss_obj)
     metrics = EvaluationMetrics(cfg.num_classes, top_k=cfg.top_k)
     rng = jax.random.PRNGKey(cfg.seed)
 
@@ -63,13 +69,26 @@ def evaluate_checkpoint(
     pending = None
 
     def _drain(p):
-        (preds_d, loss_d), labels, mask = p
-        metrics.accumulate(
-            np.asarray(jax.device_get(preds_d)),
-            labels,
-            np.asarray(jax.device_get(loss_d)),
-            mask,
-        )
+        outs, labels, mask = p
+        if sparse_k > 0:
+            h = jax.device_get(outs)
+            metrics.accumulate_topk(
+                np.asarray(h["topk_values"]),
+                np.asarray(h["topk_indices"]),
+                np.asarray(h["topk_labels"]),
+                np.asarray(h["labels_per_video"]),
+                np.asarray(h["class_positives"]),
+                np.asarray(h["loss"]),
+                mask,
+            )
+        else:
+            preds_d, loss_d = outs
+            metrics.accumulate(
+                np.asarray(jax.device_get(preds_d)),
+                labels,
+                np.asarray(jax.device_get(loss_d)),
+                mask,
+            )
 
     t0 = time.time()
     for batch in it:

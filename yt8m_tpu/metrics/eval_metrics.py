@@ -198,6 +198,79 @@ class EvaluationMetrics:
             "loss": mean_loss,
         }
 
+    def accumulate_topk(
+        self,
+        topk_values: np.ndarray,
+        topk_indices: np.ndarray,
+        topk_labels: np.ndarray,
+        labels_per_video: np.ndarray,
+        class_positives: np.ndarray,
+        loss,
+        batch_mask: Optional[np.ndarray] = None,
+    ) -> Dict[str, float]:
+        """Device-sparsified accumulate (train.step.make_sparse_eval_step).
+
+        Inputs are the per-video top-K triplets (K >= top_k, sorted by
+        descending score), per-video positive-label counts, and the
+        batch's per-class positive totals (padded rows already masked on
+        device). Produces results identical to accumulate() whenever
+        (a) no score ties straddle the K boundary and (b) every video has
+        <= K positive labels (the native pipeline caps labels/video at 64,
+        so K=64 keeps PERR exact); equivalence is tested.
+        """
+        self._class_positives += np.asarray(class_positives, np.int64)
+        if batch_mask is not None:
+            keep = np.asarray(batch_mask) > 0
+            topk_values = topk_values[keep]
+            topk_indices = topk_indices[keep]
+            topk_labels = topk_labels[keep]
+            labels_per_video = np.asarray(labels_per_video)[keep]
+            loss = np.asarray(loss)
+            if loss.ndim > 0 and loss.shape[0] == keep.shape[0]:
+                loss = loss[keep]
+        batch_size = topk_values.shape[0]
+        if batch_size == 0:
+            return {"hit_at_one": 0.0, "perr": 0.0, "loss": 0.0}
+        big_k = topk_values.shape[1]
+
+        mean_hit = float(np.mean(topk_labels[:, 0] > 0))
+
+        kv = np.asarray(labels_per_video, np.int64)
+        ranked_hits = (topk_labels > 0) & (topk_values > 0)
+        csum = np.cumsum(ranked_hits, axis=1)
+        valid = kv > 0
+        kc = np.clip(kv, 1, big_k)
+        perr = np.zeros(batch_size, dtype=np.float64)
+        perr[valid] = (
+            csum[np.arange(batch_size), kc - 1][valid]
+            / np.clip(kv, 1, None)[valid]
+        )
+        mean_perr = float(np.mean(perr))
+        mean_loss = float(np.mean(loss))
+
+        k = min(self.top_k, big_k)
+        preds_k = topk_values[:, :k].ravel()
+        labels_k = topk_labels[:, :k].ravel()
+        classes_k = topk_indices[:, :k].ravel().astype(np.int32)
+        num_pos_batch = int(kv.sum())
+
+        self._class_chunks.append(classes_k)
+        self._pred_chunks.append(preds_k.astype(np.float64))
+        self._label_chunks.append(labels_k.astype(np.float64))
+        self.global_ap_calculator.accumulate(
+            preds_k, labels_k, num_pos_batch
+        )
+
+        self.num_examples += batch_size
+        self.sum_hit_at_one += mean_hit * batch_size
+        self.sum_perr += mean_perr * batch_size
+        self.sum_loss += mean_loss * batch_size
+        return {
+            "hit_at_one": mean_hit,
+            "perr": mean_perr,
+            "loss": mean_loss,
+        }
+
     def get(self) -> Dict:
         if self.num_examples <= 0:
             raise ValueError("total_sample must be positive.")

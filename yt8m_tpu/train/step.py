@@ -126,6 +126,52 @@ def make_eval_step(model, loss_obj: BaseLoss):
     return jax.jit(eval_step)
 
 
+def make_sparse_eval_step(model, loss_obj: BaseLoss, k: int):
+    """Eval step with ON-DEVICE metric sparsification.
+
+    Instead of shipping dense [B, C] predictions to the host (18.9 KB/video
+    at C=4716), returns the per-video top-K (value, index, label) triplets
+    (exact, sorted descending via lax.top_k) plus the per-video positive
+    counts and the padded-row-masked per-class positive totals — everything
+    EvaluationMetrics needs, at ~0.8 KB/video for K=64. Host metric cost
+    drops with it (no [B, C] argpartition per batch).
+    """
+
+    def eval_step(state, batch, rng):
+        feats = _prepare_features(batch["features"])
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        out = model.apply(
+            variables,
+            feats,
+            batch["num_frames"],
+            train=False,
+            teacher=batch.get("teacher"),
+            rngs={"sample": rng},
+        )
+        preds = out["predictions"]
+        labels = batch["labels"]
+        per_ex = loss_obj.calculate_loss(preds, labels)
+        kk = min(k, preds.shape[-1])
+        vals, idx = jax.lax.top_k(preds.astype(jnp.float32), kk)
+        lab_k = jnp.take_along_axis(labels, idx, axis=1)
+        pos = labels > 0
+        row_keep = (batch["batch_mask"] > 0)[:, None]
+        return {
+            "loss": per_ex,
+            "topk_values": vals,
+            "topk_indices": idx.astype(jnp.int32),
+            "topk_labels": lab_k.astype(jnp.float32),
+            "labels_per_video": pos.sum(axis=1).astype(jnp.int32),
+            "class_positives": (pos & row_keep).sum(axis=0).astype(
+                jnp.int32
+            ),
+        }
+
+    return jax.jit(eval_step)
+
+
 def make_predict_step(model):
     """predict_step(state, batch, rng) -> predictions [B, C] float32."""
 
