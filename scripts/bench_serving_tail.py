@@ -109,5 +109,50 @@ def main():
     timed("tail: hidden+MoE head + top20", t_head_topk, pooled)
 
 
+def bench_fused_head():
+    from yt8m_tpu.kernels.moe_head import moe_head_serving
+
+    rng = np.random.default_rng(1)
+    H, M = 1024, 2
+    x = jnp.asarray(rng.normal(0, 1, (B, H)), jnp.float32)
+    wg = jnp.asarray(rng.normal(0, 0.05, (H, C * (M + 1))), jnp.float32)
+    we = jnp.asarray(rng.normal(0, 0.05, (H, C * M)), jnp.float32)
+    be = jnp.asarray(rng.normal(0, 0.05, (C * M,)), jnp.float32)
+
+    @jax.jit
+    def t_xla(x, wg, we, be):
+        g = jnp.dot(x.astype(jnp.bfloat16), wg.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        e = jnp.dot(x.astype(jnp.bfloat16), we.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32) + be
+        gating = jax.nn.softmax(g.reshape(B, C, M + 1), axis=-1)
+        probs = jnp.sum(
+            gating[..., :M] * jax.nn.sigmoid(e.reshape(B, C, M)), -1
+        )
+        v, i = jax.lax.approx_max_k(probs, 20, recall_target=1.0)
+        return v.sum() + i.sum()
+
+    @jax.jit
+    def t_fused(x, wg, we, be):
+        probs = moe_head_serving(x, wg, we, be, M)
+        v, i = jax.lax.approx_max_k(probs, 20, recall_target=1.0)
+        return v.sum() + i.sum()
+
+    # exactness on-chip
+    probs_xla = jax.jit(lambda *a: moe_head_serving(*a, M))(x, wg, we, be)
+    g = jnp.dot(x.astype(jnp.bfloat16), wg.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    e = jnp.dot(x.astype(jnp.bfloat16), we.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + be
+    ref = jnp.sum(jax.nn.softmax(g.reshape(B, C, M + 1), -1)[..., :M]
+                  * jax.nn.sigmoid(e.reshape(B, C, M)), -1)
+    err = float(jnp.max(jnp.abs(probs_xla - ref)))
+    print(f"fused head on-chip max |err| vs XLA: {err:.3e}")
+
+    timed("head+top20 XLA", t_xla, x, wg, we, be)
+    timed("head+top20 FUSED kernel", t_fused, x, wg, we, be)
+
+
 if __name__ == "__main__":
     main()
+    bench_fused_head()

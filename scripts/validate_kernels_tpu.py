@@ -170,6 +170,29 @@ def main():
     print(f"dbof sampled TPU: {time.time()-t0:.1f}s max_err={err:.4f}",
           flush=True)
     assert err < 0.05
+    # fused MoE head (kernels/moe_head.py) vs the jnp formula at the
+    # same matmul dtype (bf16): expect bf16-rounding-level agreement.
+    hh, cc, mm = 256, 601, 2
+    xh = jnp.asarray(rng.normal(0, 1, (33, hh)), jnp.float32)
+    wg = jnp.asarray(rng.normal(0, 0.05, (hh, cc * (mm + 1))), jnp.float32)
+    wex = jnp.asarray(rng.normal(0, 0.05, (hh, cc * mm)), jnp.float32)
+    bex = jnp.asarray(rng.normal(0, 0.05, (cc * mm,)), jnp.float32)
+    from yt8m_tpu.kernels.moe_head import moe_head_serving
+
+    got = moe_head_serving(xh, wg, wex, bex, mm)
+    jax.block_until_ready(got)
+    g = jnp.dot(xh.astype(jnp.bfloat16), wg.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32)
+    e = jnp.dot(xh.astype(jnp.bfloat16), wex.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32) + bex
+    ref = jnp.sum(
+        jax.nn.softmax(g.reshape(33, cc, mm + 1), -1)[..., :mm]
+        * jax.nn.sigmoid(e.reshape(33, cc, mm)), -1,
+    )
+    err = float(jnp.max(jnp.abs(got - ref)))
+    print(f"moe head TPU: {time.time()-t0:.1f}s max_err={err:.4f}",
+          flush=True)
+    assert err < 0.05  # bf16 trajectory sensitivity (XLA excess precision)
     print("ALL KERNELS TPU OK", flush=True)
 
 

@@ -105,7 +105,7 @@ class AttentionPoolingModel(nn.Module):
         )(hidden)
         hidden = nn.relu(hidden)
 
-        out = make_classifier_head(hp)(hidden)
+        out = make_classifier_head(hp)(hidden, train=train)
         out["regularization_loss"] = out.get(
             "regularization_loss", 0.0
         ) + hp.l2_penalty * (reg + l2_loss(proj))
@@ -171,7 +171,7 @@ class MultiHeadAttentionModel(nn.Module):
             preferred_element_type=jnp.float32,
         ).reshape(b, h * dk)
 
-        out = make_classifier_head(hp)(pooled)
+        out = make_classifier_head(hp)(pooled, train=train)
         out["regularization_loss"] = out.get(
             "regularization_loss", 0.0
         ) + hp.l2_penalty * l2_loss(wk, wv, queries)

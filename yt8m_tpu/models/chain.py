@@ -27,7 +27,7 @@ class _ChainStack(nn.Module):
     hp: ModelHParams
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         hp = self.hp
         preds = None
         aux = []
@@ -57,8 +57,9 @@ class _ChainStack(nn.Module):
                 num_mixtures=hp.moe_num_mixtures,
                 l2_penalty=hp.moe_l2_penalty,
                 dtype=hp.dtype,
+                use_pallas=hp.moe_head_pallas,
                 name=f"stage{stage}",
-            )(stage_in)
+            )(stage_in, train=train)
             if preds is not None:
                 aux.append(preds)
             preds = out["predictions"]
@@ -78,7 +79,7 @@ class ChainMoeModel(nn.Module):
 
     @nn.compact
     def __call__(self, features, num_frames=None, train: bool = False, **kw):
-        return _ChainStack(hp=self.hp, name="chain")(features)
+        return _ChainStack(hp=self.hp, name="chain")(features, train=train)
 
 
 @register("ChainFrameModel", frame_level=True)
@@ -93,7 +94,7 @@ class ChainFrameModel(nn.Module):
         mask = frame_mask(num_frames, features.shape[1], features.dtype)
         denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
         pooled = jnp.sum(features * mask[:, :, None], axis=1) / denom
-        return _ChainStack(hp=self.hp, name="chain")(pooled)
+        return _ChainStack(hp=self.hp, name="chain")(pooled, train=train)
 
 
 @register("ChainNetVladModel", frame_level=True)
@@ -132,7 +133,7 @@ class ChainNetVladModel(nn.Module):
             name="hidden1_bn",
         )(hidden)
         hidden = nn.relu(hidden)
-        out = _ChainStack(hp=self.hp, name="chain")(hidden)
+        out = _ChainStack(hp=self.hp, name="chain")(hidden, train=train)
         out["regularization_loss"] = out["regularization_loss"] + (
             hp.l2_penalty * (vlad_reg + l2_loss(hidden_weights))
         )

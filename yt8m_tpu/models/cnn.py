@@ -54,4 +54,4 @@ class FrameCnnModel(nn.Module):
             x = nn.relu(x)
 
         pooled = frame_pooling(x, "max", mask)
-        return make_classifier_head(hp)(pooled)
+        return make_classifier_head(hp)(pooled, train=train)

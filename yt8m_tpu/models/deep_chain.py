@@ -88,8 +88,9 @@ class DeepCombineChainModel(nn.Module):
                 num_mixtures=hp.moe_num_mixtures,
                 l2_penalty=hp.moe_l2_penalty,
                 dtype=hp.dtype,
+                use_pallas=hp.moe_head_pallas,
                 name=f"stage{stage}",
-            )(state)
+            )(state, train=train)
             if preds is not None:
                 aux.append(preds)
             preds = out["predictions"]

@@ -53,7 +53,7 @@ class LogisticHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         logits, kernel = _dense(
             self, "logistic", x, self.vocab_size, self.dtype
         )
@@ -84,16 +84,73 @@ class MoeHead(nn.Module):
     num_mixtures: int = 2
     l2_penalty: float = 1e-8
     dtype: Any = jnp.float32
+    # Opt-in: the fused head kernel wins in isolation (2.1 vs 2.9 ms at
+    # B=2048, C=4716) but an approx_max_k that CONSUMES a Pallas output
+    # runs ~1 ms slower than on an XLA-produced buffer, so the full
+    # serving step regresses (150.1k vs 159.5k videos/s/chip). Default
+    # OFF; useful when serving dense probabilities (no top-k consumer),
+    # e.g. pre-ensemble dumps. See BENCH_NOTES.md.
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x):
-        m = self.num_mixtures
-        gate_logits, gate_kernel = _dense(
-            self, "gates", x, self.vocab_size * (m + 1), self.dtype,
-            use_bias=False,
+    def __call__(self, x, train: bool = False):
+        import jax
+
+        from yt8m_tpu.kernels import (
+            kernels_enabled,
+            pallas_interpret_forced,
         )
-        expert_logits, expert_kernel = _dense(
-            self, "experts", x, self.vocab_size * m, self.dtype
+
+        m = self.num_mixtures
+        gate_kernel = self.param(
+            "gates_kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.vocab_size * (m + 1)),
+            jnp.float32,
+        )
+        expert_kernel = self.param(
+            "experts_kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.vocab_size * m),
+            jnp.float32,
+        )
+        expert_bias = self.param(
+            "experts_bias", nn.initializers.zeros,
+            (self.vocab_size * m,), jnp.float32,
+        )
+        reg = self.l2_penalty * l2_loss(gate_kernel, expert_kernel)
+
+        interpret = pallas_interpret_forced()
+        use_fused = (
+            not train
+            and self.use_pallas
+            and kernels_enabled()
+            and not self.is_initializing()
+            and (jax.default_backend() == "tpu" or interpret)
+        )
+        if use_fused:
+            # Fused gates+experts+combine per class tile
+            # (kernels/moe_head.py): never materialises the f32
+            # [B, C, M+1] softmax / [B, C, M] sigmoid in HBM (~5x the
+            # FLOP roofline on the jnp path at C=4716).
+            from yt8m_tpu.kernels.moe_head import moe_head_serving
+
+            probs = moe_head_serving(
+                x.astype(jnp.float32), gate_kernel, expert_kernel,
+                expert_bias, m, dtype=self.dtype, interpret=interpret,
+            )
+            return {"predictions": probs, "regularization_loss": reg}
+
+        gate_logits = jnp.dot(
+            x.astype(self.dtype), gate_kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        expert_logits = (
+            jnp.dot(
+                x.astype(self.dtype), expert_kernel.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + expert_bias
         )
         b = x.shape[0]
         gating = nn.softmax(
@@ -106,7 +163,6 @@ class MoeHead(nn.Module):
             expert_logits.astype(jnp.float32).reshape(b, self.vocab_size, m)
         )
         probs = jnp.sum(gating[..., :m] * expert_probs, axis=-1)
-        reg = self.l2_penalty * l2_loss(gate_kernel, expert_kernel)
         return {"predictions": probs, "regularization_loss": reg}
 
 

@@ -20,6 +20,8 @@ class ModelHParams:
 
     # video_level_models.py flags
     moe_num_mixtures: int = 2
+    # fused MoE-head serving kernel (kernels/moe_head.py); see MoeHead
+    moe_head_pallas: bool = False
     moe_l2_penalty: float = 1e-8
     l2_penalty: float = 1e-8
 

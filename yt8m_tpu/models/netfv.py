@@ -127,7 +127,7 @@ class NetFVModel(nn.Module):
         )(hidden)
         hidden = nn.relu(hidden)
 
-        out = make_classifier_head(hp)(hidden)
+        out = make_classifier_head(hp)(hidden, train=train)
         out["regularization_loss"] = out.get(
             "regularization_loss", 0.0
         ) + hp.l2_penalty * (l2_loss(cluster_w, hidden_w))

@@ -259,7 +259,7 @@ class _NetVladBase(nn.Module):
                 name="context_gate",
             )(hidden, train=train)
 
-        out = make_classifier_head(hp)(hidden)
+        out = make_classifier_head(hp)(hidden, train=train)
         out["regularization_loss"] = out.get(
             "regularization_loss", 0.0
         ) + hp.l2_penalty * (reg + l2_loss(hidden_weights))

@@ -111,7 +111,7 @@ class _NetVladLstmBase(nn.Module):
                 name="context_gate",
             )(fused, train=train)
 
-        out = make_classifier_head(hp)(fused)
+        out = make_classifier_head(hp)(fused, train=train)
         out["regularization_loss"] = out.get(
             "regularization_loss", 0.0
         ) + hp.l2_penalty * (reg + l2_loss(hidden_weights))

@@ -144,7 +144,7 @@ class NeXtVladModel(nn.Module):
             add_batch_norm=True, dtype=hp.dtype, name="context_gate"
         )(hidden, train=train)
 
-        out = make_classifier_head(hp)(hidden)
+        out = make_classifier_head(hp)(hidden, train=train)
         out["regularization_loss"] = out.get(
             "regularization_loss", 0.0
         ) + hp.l2_penalty * l2_loss(expand_w, cluster_w, hidden_w)

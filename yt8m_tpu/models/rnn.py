@@ -379,7 +379,7 @@ class _RnnModelBase(nn.Module):
             use_pallas=hp.lstm_use_pallas and not layer_norm,
             residual=hp.rnn_residual,
         )
-        return make_classifier_head(hp)(pooled)
+        return make_classifier_head(hp)(pooled, train=train)
 
 
 @register("LstmModel", frame_level=True)

@@ -24,7 +24,7 @@ class LogisticModel(nn.Module):
             l2_penalty=self.hp.l2_penalty,
             dtype=self.hp.dtype,
             name="tower",
-        )(features)
+        )(features, train=train)
 
 
 @register("MoeModel", frame_level=False)
@@ -38,8 +38,9 @@ class MoeModel(nn.Module):
             num_mixtures=self.hp.moe_num_mixtures,
             l2_penalty=self.hp.moe_l2_penalty,
             dtype=self.hp.dtype,
+            use_pallas=self.hp.moe_head_pallas,
             name="tower",
-        )(features)
+        )(features, train=train)
 
 
 def make_classifier_head(hp: ModelHParams, name: str = "video_classifier"):
@@ -51,6 +52,7 @@ def make_classifier_head(hp: ModelHParams, name: str = "video_classifier"):
             num_mixtures=hp.moe_num_mixtures,
             l2_penalty=hp.moe_l2_penalty,
             dtype=hp.dtype,
+            use_pallas=hp.moe_head_pallas,
             name=name,
         )
     if cls_name == "LogisticModel":
