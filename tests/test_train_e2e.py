@@ -165,3 +165,47 @@ def test_trainer_with_multiprocess_readers(dataset, tmp_path):
     cfg.num_readers = 2
     final = Trainer(cfg).run()
     assert final == 6
+
+
+def test_adafactor_and_bf16_mu_train_and_resume(dataset, tmp_path):
+    """TPU-native optimizer options: AdafactorOptimizer and
+    --adam_mu_dtype=bfloat16 both train (loss drops vs init), checkpoint,
+    and eval-restore with the matching optimizer tree."""
+    import jax
+    import jax.numpy as jnp
+
+    for name, kw in [
+        ("adafactor", dict(optimizer="AdafactorOptimizer")),
+        ("bf16mu", dict(adam_mu_dtype="bfloat16")),
+    ]:
+        train_dir = str(tmp_path / name)
+        Trainer(
+            _train_cfg(dataset, train_dir, max_steps=30, **kw)
+        ).run()
+        if name == "bf16mu":
+            from yt8m_tpu.train.state import make_optimizer
+
+            tx = make_optimizer(adam_mu_dtype="bfloat16")
+            opt_state = tx.init({"w": jnp.zeros((4, 4), jnp.float32)})
+            mus = [
+                l for l in jax.tree_util.tree_leaves(opt_state)
+                if hasattr(l, "dtype") and l.dtype == jnp.bfloat16
+            ]
+            assert mus, "bf16 mu not found in optimizer state"
+        out = evaluate_checkpoint(
+            EvalConfig(
+                eval_data_pattern=os.path.join(
+                    dataset, "validate-*.tfrecord"
+                ),
+                feature_names="mean_rgb,mean_audio",
+                feature_sizes="32,8",
+                num_classes=C,
+                batch_size=16,
+                model="MoeModel",
+                optimizer=kw.get("optimizer", "AdamOptimizer"),
+                adam_mu_dtype=kw.get("adam_mu_dtype", "float32"),
+                train_dir=train_dir,
+                hparams=ModelHParams(**HP_KW),
+            )
+        )
+        assert out["gap"] > 0.2, (name, out["gap"])

@@ -40,6 +40,9 @@ class TrainConfig:
     learning_rate_decay_examples: int = 4_000_000
     regularization_penalty: float = 1.0
     clip_gradient_norm: float = 1.0
+    # bf16 Adam first moment: ~30% less optimizer HBM traffic on the
+    # VLAD-family's 302M-param FC (see BENCH_NOTES); float32 = exact.
+    adam_mu_dtype: str = "float32"
     max_steps: Optional[int] = None
 
     # run management
@@ -100,6 +103,7 @@ class EvalConfig:
     model: str = "LogisticModel"
     label_loss: str = "CrossEntropyLoss"
     optimizer: str = "AdamOptimizer"  # must match training (restore tree)
+    adam_mu_dtype: str = "float32"    # must match training (restore tree)
     train_dir: str = "/tmp/yt8m_model/"
     run_once: bool = True
     num_readers: int = 1
@@ -141,6 +145,7 @@ class InferenceConfig:
     batch_size: int = 8192
     model: str = "LogisticModel"
     optimizer: str = "AdamOptimizer"  # must match training (restore tree)
+    adam_mu_dtype: str = "float32"    # must match training (restore tree)
     train_dir: str = "/tmp/yt8m_model/"
     output_file: str = ""
     top_k: int = 20

@@ -94,7 +94,8 @@ def evaluate_checkpoint(
     for batch in it:
         if not restored:
             tx = make_optimizer(
-                optimizer=cfg.optimizer, global_batch_size=cfg.batch_size
+                optimizer=cfg.optimizer, global_batch_size=cfg.batch_size,
+                adam_mu_dtype=cfg.adam_mu_dtype,
             )
             state = init_train_state(
                 model, jax.random.PRNGKey(0), batch, tx, cfg.frame_features

@@ -172,6 +172,7 @@ def inference(config: InferenceConfig, state=None) -> dict:
                 tx = make_optimizer(
                     optimizer=cfg.optimizer,
                     global_batch_size=cfg.batch_size,
+                    adam_mu_dtype=cfg.adam_mu_dtype,
                 )
                 state = init_train_state(
                     model, jax.random.PRNGKey(0), batch, tx,

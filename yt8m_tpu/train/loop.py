@@ -112,6 +112,7 @@ class Trainer:
             learning_rate_decay_examples=cfg.learning_rate_decay_examples,
             global_batch_size=cfg.batch_size,
             clip_gradient_norm=cfg.clip_gradient_norm,
+            adam_mu_dtype=cfg.adam_mu_dtype,
         )
         self.train_step = make_train_step(
             self.model,

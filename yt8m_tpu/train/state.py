@@ -63,6 +63,7 @@ def make_optimizer(
     learning_rate_decay_examples: int = 4_000_000,
     global_batch_size: int = 1024,
     clip_gradient_norm: float = 1.0,
+    adam_mu_dtype: str = "float32",
 ) -> optax.GradientTransformation:
     sched = make_lr_schedule(
         base_learning_rate,
@@ -71,7 +72,18 @@ def make_optimizer(
         global_batch_size,
     )
     opts = {
-        "AdamOptimizer": lambda: optax.adam(sched, eps=1e-8),
+        # --adam_mu_dtype=bfloat16 stores Adam's first moment in bf16:
+        # the VLAD-family train step is bound by optimizer HBM traffic
+        # (BENCH_NOTES: 302M-param hidden FC), and mu's read+write is
+        # 8 of the ~28 bytes/param of an Adam step.
+        "AdamOptimizer": lambda: optax.adam(
+            sched, eps=1e-8, mu_dtype=jnp.dtype(adam_mu_dtype)
+        ),
+        # TPU-native memory-lean option (beyond the reference's zoo):
+        # factored second moments, O(rows+cols) state instead of O(n).
+        "AdafactorOptimizer": lambda: optax.adafactor(
+            learning_rate=sched
+        ),
         "SgdOptimizer": lambda: optax.sgd(sched),
         "GradientDescentOptimizer": lambda: optax.sgd(sched),
         "RMSPropOptimizer": lambda: optax.rmsprop(sched),
