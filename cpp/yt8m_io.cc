@@ -340,12 +340,10 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
         std::string k(reinterpret_cast<const char*>(key.data), key.len);
         int col = 0;
         int size = 0;
-        size_t feat_idx = 0;
         bool found = false;
         for (size_t i = 0; i < r->feature_names.size(); ++i) {
           if (k == r->feature_names[i]) {
             size = r->feature_sizes[i];
-            feat_idx = i;
             found = true;
             break;
           }
@@ -369,7 +367,6 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
           }
           ++t;
         });
-        (void)feat_idx;
         if (t > nf) nf = t;
       });
     }

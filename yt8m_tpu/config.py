@@ -12,6 +12,23 @@ from typing import Optional
 from yt8m_tpu.models.hparams import ModelHParams
 
 
+def _resolve_hparams(cfg) -> "ModelHParams":
+    """Shared resolved_hparams body: feature_dim follows --feature_sizes
+    (models take it from the input at trace time, but export/serving
+    builds example inputs from hparams — they must agree)."""
+    from yt8m_tpu.data.features import get_feature_names_and_sizes
+
+    _, sizes = get_feature_names_and_sizes(
+        cfg.feature_names, cfg.feature_sizes
+    )
+    return cfg.hparams.replace(
+        vocab_size=cfg.num_classes,
+        max_frames=cfg.max_frames,
+        feature_dim=sum(sizes),
+    )
+
+
+
 @dataclasses.dataclass
 class TrainConfig:
     # data (reference: train.py + readers.py flags)
@@ -76,19 +93,7 @@ class TrainConfig:
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
 
     def resolved_hparams(self) -> ModelHParams:
-        # feature_dim follows --feature_sizes (models take it from the
-        # input at trace time, but export/serving builds example inputs
-        # from hparams — they must agree).
-        from yt8m_tpu.data.features import get_feature_names_and_sizes
-
-        _, sizes = get_feature_names_and_sizes(
-            self.feature_names, self.feature_sizes
-        )
-        return self.hparams.replace(
-            vocab_size=self.num_classes,
-            max_frames=self.max_frames,
-            feature_dim=sum(sizes),
-        )
+        return _resolve_hparams(self)
 
 
 @dataclasses.dataclass
@@ -119,19 +124,7 @@ class EvalConfig:
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
 
     def resolved_hparams(self) -> ModelHParams:
-        # feature_dim follows --feature_sizes (models take it from the
-        # input at trace time, but export/serving builds example inputs
-        # from hparams — they must agree).
-        from yt8m_tpu.data.features import get_feature_names_and_sizes
-
-        _, sizes = get_feature_names_and_sizes(
-            self.feature_names, self.feature_sizes
-        )
-        return self.hparams.replace(
-            vocab_size=self.num_classes,
-            max_frames=self.max_frames,
-            feature_dim=sum(sizes),
-        )
+        return _resolve_hparams(self)
 
 
 @dataclasses.dataclass
@@ -166,16 +159,4 @@ class InferenceConfig:
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)
 
     def resolved_hparams(self) -> ModelHParams:
-        # feature_dim follows --feature_sizes (models take it from the
-        # input at trace time, but export/serving builds example inputs
-        # from hparams — they must agree).
-        from yt8m_tpu.data.features import get_feature_names_and_sizes
-
-        _, sizes = get_feature_names_and_sizes(
-            self.feature_names, self.feature_sizes
-        )
-        return self.hparams.replace(
-            vocab_size=self.num_classes,
-            max_frames=self.max_frames,
-            feature_dim=sum(sizes),
-        )
+        return _resolve_hparams(self)

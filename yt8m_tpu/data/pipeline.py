@@ -340,9 +340,22 @@ class ThreadedBatchIterator:
                     if stop.is_set():
                         return
             except BaseException as e:
-                q.put(e)
+                # stop-aware put: if the consumer abandoned the generator
+                # with the queue full, don't block forever holding the
+                # native reader open.
+                while not stop.is_set():
+                    try:
+                        q.put(e, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
             finally:
-                q.put(sentinel)
+                while not stop.is_set():
+                    try:
+                        q.put(sentinel, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         threads = []
         for w in range(self.num_workers):

@@ -109,10 +109,14 @@ def main(argv=None):
     label_map = labels_from_tfrecords(
         args.train_data_pattern, frame_level, args.num_classes
     )
-    labels = np.stack(
-        [label_map[v] for v in ids if v in label_map]
-    )
     kept = [v for v in ids if v in label_map]
+    if not kept:
+        raise SystemExit(
+            f"no video ids from --predictions_dir ({len(ids)} ids) match "
+            f"--train_data_pattern ({len(label_map)} labelled videos) — "
+            "were the predictions dumped from a different split?"
+        )
+    labels = np.stack([label_map[v] for v in kept])
     keep_idx = [i for i, v in enumerate(ids) if v in label_map]
     weights = fit_boost_weights(
         kept, preds[keep_idx], labels, beta=args.beta

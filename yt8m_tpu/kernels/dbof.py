@@ -139,9 +139,10 @@ def _kernel_v2(
     ascale_ref,   # [1, KT]
     abias_ref,    # [1, KT]
     out_ref,      # [BB, KT]
-    xa_ref,       # scratch [BB*S, D] bf16 — dequant+affined, matmul-ready
+    xa_ref,       # scratch [BB*S, D] dtype — dequant+affined, matmul-ready
     *,
     is_u8: bool,
+    dtype,
 ):
     bb, s, d = x_ref.shape
     kt = w_ref.shape[1]
@@ -158,7 +159,7 @@ def _kernel_v2(
         else:
             x = x_ref[...].astype(jnp.float32)
         x = x * inscale_ref[...][None] + inbias_ref[...][None]
-        xa_ref[...] = x.reshape(bb * s, d).astype(jnp.bfloat16)
+        xa_ref[...] = x.reshape(bb * s, d).astype(dtype)
 
     act = jax.lax.dot_general(
         xa_ref[...],
@@ -171,7 +172,7 @@ def _kernel_v2(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block_b", "block_k")
+    jax.jit, static_argnames=("interpret", "block_b", "block_k", "dtype")
 )
 def dbof_cluster_maxpool_v2(
     x,          # [B, S, D] uint8 or float32 (sampled frames)
@@ -183,9 +184,10 @@ def dbof_cluster_maxpool_v2(
     interpret: bool = False,
     block_b: int = 32,
     block_k: int = 512,
+    dtype=jnp.bfloat16,  # matmul compute dtype (pass the model's hp.dtype)
 ):
     """Grid-(b,k) variant of dbof_cluster_maxpool: cast-once scratch,
-    bf16 weight tiles streamed (hidden under the MXU sweep for
+    compute-dtype weight tiles streamed (hidden under the MXU sweep for
     block_b >= 16)."""
     b, s, d = x.shape
     k = w.shape[1]
@@ -198,7 +200,10 @@ def dbof_cluster_maxpool_v2(
         raise ValueError(f"cluster_size {k} not divisible by tile {kt}")
 
     out = pl.pallas_call(
-        functools.partial(_kernel_v2, is_u8=x.dtype == jnp.uint8),
+        functools.partial(
+            _kernel_v2, is_u8=x.dtype == jnp.uint8,
+            dtype=jnp.dtype(dtype),
+        ),
         grid=(b_pad // bb, k // kt),
         in_specs=[
             pl.BlockSpec(
@@ -226,13 +231,13 @@ def dbof_cluster_maxpool_v2(
         ),
         out_shape=jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((bb * s, d), jnp.bfloat16),
+            pltpu.VMEM((bb * s, d), jnp.dtype(dtype)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b_pad * s * d * k,
             bytes_accessed=b_pad * s * d
             * (1 if x.dtype == jnp.uint8 else 4)
-            + (b_pad // bb) * d * k * 2
+            + (b_pad // bb) * d * k * jnp.dtype(dtype).itemsize
             + b_pad * k * 4,
             transcendentals=0,
         ),
@@ -241,7 +246,7 @@ def dbof_cluster_maxpool_v2(
         x,
         in_scale.reshape(1, d).astype(jnp.float32),
         in_bias.reshape(1, d).astype(jnp.float32),
-        w.astype(jnp.bfloat16),
+        w.astype(jnp.dtype(dtype)),
         act_scale.reshape(1, k).astype(jnp.float32),
         act_bias.reshape(1, k).astype(jnp.float32),
     )

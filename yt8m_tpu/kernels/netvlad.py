@@ -45,6 +45,7 @@ def _kernel(
     deq_scale: float,
     deq_bias: float,
     is_u8: bool,
+    dtype,
 ):
     b = pl.program_id(0)
     f = frames_ref.shape[1]
@@ -56,8 +57,8 @@ def _kernel(
         x = frames_ref[0].astype(jnp.float32)
 
     act = jnp.dot(
-        x.astype(jnp.bfloat16),
-        wc_ref[...].astype(jnp.bfloat16),
+        x.astype(dtype),
+        wc_ref[...].astype(dtype),
         preferred_element_type=jnp.float32,
     )
     act = act * act_scale_ref[...] + act_bias_ref[...]
@@ -72,8 +73,8 @@ def _kernel(
 
     a_sum = jnp.sum(assign, axis=0, keepdims=True)  # [1, K]
     vlad = jax.lax.dot_general(
-        assign.astype(jnp.bfloat16),
-        x.astype(jnp.bfloat16),
+        assign.astype(dtype),
+        x.astype(dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),  # [K, D]
         preferred_element_type=jnp.float32,
     )
@@ -86,7 +87,7 @@ def _kernel(
     out_ref[0] = vlad / jnp.maximum(gnorm, 1e-6)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "dtype"))
 def netvlad_aggregate(
     frames,      # [B, F, D] uint8 or float32
     num_frames,  # [B] int32
@@ -97,6 +98,7 @@ def netvlad_aggregate(
     deq_scale: float = 4.0 / 255.0,
     deq_bias: float = 4.0 / 512.0 - 2.0,
     interpret: bool = False,
+    dtype=jnp.bfloat16,  # matmul compute dtype (pass the model's hp.dtype)
 ):
     """Fully normalised VLAD descriptors [B, K, D] float32."""
     b, f, d = frames.shape
@@ -137,6 +139,7 @@ def netvlad_aggregate(
             deq_scale=float(deq_scale),
             deq_bias=float(deq_bias),
             is_u8=is_u8,
+            dtype=jnp.dtype(dtype),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, k, d), jnp.float32),

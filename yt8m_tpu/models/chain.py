@@ -112,6 +112,7 @@ class ChainNetVladModel(nn.Module):
             add_batch_norm=hp.netvlad_add_batch_norm,
             dtype=hp.dtype,
             use_pallas=hp.netvlad_use_pallas,
+            fused_train=hp.netvlad_fused_train,
             name="vlad",
         )(features, num_frames, mask, train=train)
         hidden_weights = self.param(

@@ -198,7 +198,7 @@ class _DbofBase(nn.Module):
             else:
                 pooled = dbof_cluster_maxpool_v2(
                     x_raw, cluster_kernel, s_in, b_in, s_act, b_act,
-                    interpret=interpret,
+                    interpret=interpret, dtype=hp.dtype,
                 )
         else:
             # Dequantize AFTER sampling: only S of 300 frames pay the

@@ -52,7 +52,7 @@ class _NetVladAggregation(nn.Module):
     add_batch_norm: bool = True
     dtype: object = jnp.float32
     use_pallas: bool = True
-    fused_train: bool = True
+    fused_train: bool = False  # match hparams.netvlad_fused_train default
 
     @nn.compact
     def __call__(self, frames, num_frames, mask, train: bool = False):
@@ -119,7 +119,7 @@ class _NetVladAggregation(nn.Module):
                 act_bias = cluster_biases
             vlad = netvlad_aggregate(
                 frames, num_frames, cluster_weights, act_scale, act_bias,
-                centers_kd,
+                centers_kd, dtype=self.dtype,
             )
             return vlad.reshape(b, k * d), reg
 

@@ -25,6 +25,8 @@ kernel. Branches share the uint8->float dequantize (done once).
 
 from __future__ import annotations
 
+import functools
+
 import flax.linen as nn
 import jax.numpy as jnp
 
@@ -89,9 +91,10 @@ class _NetVladLstmBase(nn.Module):
             )
         vh = nn.relu(vh)
 
-        # --- LSTM branch ---------------------------------------------------
+        # --- LSTM branch (honours the same flags as LstmModel:
+        # --lstm_layer_norm, --rnn_residual) --------------------------------
         rh = _run_rnn(
-            _LstmLayer,
+            functools.partial(_LstmLayer, layer_norm=hp.lstm_layer_norm),
             x,
             num_frames,
             layers=hp.lstm_layers,
@@ -100,7 +103,8 @@ class _NetVladLstmBase(nn.Module):
             bidirectional=self.bidirectional,
             pooling=hp.lstm_pooling,
             train=train,
-            use_pallas=hp.lstm_use_pallas,
+            use_pallas=hp.lstm_use_pallas and not hp.lstm_layer_norm,
+            residual=hp.rnn_residual,
         )
 
         fused = jnp.concatenate([vh, rh], axis=-1)

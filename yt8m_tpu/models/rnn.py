@@ -61,7 +61,15 @@ class _LstmLayer(nn.Module):
             (d + h, 4 * h),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (4 * h,), jnp.float32)
+        # no cell bias under layer norm: the per-gate LN beta subsumes it
+        # (TF1 LayerNormBasicLSTMCell), so don't create a dead param.
+        bias = (
+            None
+            if self.layer_norm
+            else self.param(
+                "bias", nn.initializers.zeros, (4 * h,), jnp.float32
+            )
+        )
 
         if self.layer_norm:
             # Fork variant (SURVEY.md §2.2 "layer-norm cells"): TF1
