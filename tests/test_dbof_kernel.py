@@ -235,3 +235,31 @@ def test_int8_serving_flag_dispatches(monkeypatch):
     assert calls, "int8 flag did not dispatch to the int8 kernel"
     preds = np.asarray(out["predictions"])
     assert np.all((preds >= 0) & (preds <= 1))
+
+
+def test_model_fused_f32_matches_jnp_tightly(monkeypatch):
+    """With --compute_dtype=float32 the fused serving path now computes
+    in f32 (the kernel takes the model dtype), so it matches the jnp
+    path to float tolerance — not just the loose bf16 bound above."""
+    rng = np.random.default_rng(7)
+    feats = rng.integers(0, 256, size=(B, 10, D), dtype=np.uint8)
+    nf = np.array([10, 3, 7, 1, 10], np.int32)
+    model = get_model("DbofModel", HP)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(feats), jnp.asarray(nf), train=False,
+    )
+
+    def run():
+        out = model.apply(
+            variables, jnp.asarray(feats), jnp.asarray(nf), train=False,
+            rngs={"sample": jax.random.PRNGKey(3)},
+        )
+        return np.asarray(out["predictions"])
+
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
+    fused = run()
+    monkeypatch.delenv("YT8M_PALLAS_INTERPRET")
+    monkeypatch.setenv("YT8M_DISABLE_PALLAS", "1")
+    plain = run()
+    np.testing.assert_allclose(fused, plain, rtol=1e-5, atol=1e-6)

@@ -209,3 +209,84 @@ def test_adafactor_and_bf16_mu_train_and_resume(dataset, tmp_path):
             )
         )
         assert out["gap"] > 0.2, (name, out["gap"])
+
+
+def test_sigkill_fault_injection_resume(dataset, tmp_path):
+    """Real failure injection (SURVEY.md §5.3): SIGKILL a training
+    process after its first checkpoint lands, then rerun the same
+    command — the restarted Trainer must auto-restore the latest
+    checkpoint and finish the remaining steps."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    train_dir = str(tmp_path / "killed")
+    # The axon site package force-sets JAX_PLATFORMS at import, so the
+    # child must pin CPU via jax.config (same pattern as conftest.py).
+    child = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "from yt8m_tpu.cli.train import main; main()"
+    )
+    argv = [
+        sys.executable, "-c", child,
+        f"--train_data_pattern={os.path.join(dataset, 'train-*.tfrecord')}",
+        "--feature_names=mean_rgb,mean_audio", "--feature_sizes=32,8",
+        f"--num_classes={C}", "--batch_size=16", "--num_epochs=500",
+        "--model=MoeModel", "--base_learning_rate=0.02",
+        f"--train_dir={train_dir}", "--save_checkpoint_every_n_steps=10",
+        "--max_steps=100000", "--log_every_n_steps=10",
+        "--compute_dtype=float32",
+    ]
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        argv, cwd=repo, env=env,
+        stdout=subprocess.DEVNULL,
+        stderr=open(str(tmp_path / "trainer.err"), "w"),
+    )
+    try:
+        deadline = time.time() + 300
+        first_ckpt = None
+        while time.time() < deadline:
+            steps = []
+            if os.path.isdir(train_dir):
+                steps = [
+                    int(d) for d in os.listdir(train_dir) if d.isdigit()
+                ]
+            if steps:
+                first_ckpt = max(steps)
+                break
+            if proc.poll() is not None:
+                raise AssertionError("trainer exited before checkpointing")
+            time.sleep(0.5)
+        assert first_ckpt is not None, (
+            "no checkpoint within 300s: "
+            + open(str(tmp_path / "trainer.err")).read()[-2000:]
+        )
+        proc.send_signal(signal.SIGKILL)  # hard kill, no cleanup
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # Restart with a finite budget: must RESUME (not restart from 0).
+    cfg = _train_cfg(
+        dataset, train_dir, max_steps=first_ckpt + 20,
+        save_checkpoint_every_n_steps=10,
+    )
+    final_step = Trainer(cfg).run()
+    assert final_step >= first_ckpt + 1, (final_step, first_ckpt)
+    out = evaluate_checkpoint(
+        EvalConfig(
+            eval_data_pattern=os.path.join(dataset, "validate-*.tfrecord"),
+            feature_names="mean_rgb,mean_audio", feature_sizes="32,8",
+            num_classes=C, batch_size=16, model="MoeModel",
+            train_dir=train_dir, hparams=ModelHParams(**HP_KW),
+        )
+    )
+    assert out["gap"] > 0.0 and out["step"] >= first_ckpt
