@@ -227,3 +227,44 @@ def test_polymorphic_frame_level_export(tmp_path):
         nf = rng.integers(1, 9, size=(b,)).astype(np.int32)
         values, indices = serve(f, nf)
         assert np.asarray(values).shape == (b, 4)
+
+
+def test_flagship_netvlad_lstm_export_roundtrip(tmp_path):
+    """Export/serve the NetVladLstmModel flagship (BN batch_stats +
+    VLAD + recurrence in one StableHLO artifact) and check parity with
+    direct apply."""
+    from yt8m_tpu.infer.export import export_model, load_serving
+
+    hp = ModelHParams(
+        vocab_size=C, feature_dim=D, max_frames=8,
+        compute_dtype="float32", netvlad_cluster_size=4,
+        netvlad_hidden_size=8, lstm_cells=6, lstm_layers=1,
+        moe_num_mixtures=2,
+    )
+    model = get_model("NetVladLstmModel", hp)
+    rng = np.random.default_rng(0)
+    feats = rng.integers(0, 256, size=(3, 8, D), dtype=np.uint8)
+    nf = np.array([8, 3, 5], np.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(feats, jnp.float32), jnp.asarray(nf), train=False,
+    )
+    export_dir = str(tmp_path / "flagship")
+    export_model(
+        export_dir, "NetVladLstmModel", hp, variables["params"],
+        batch_stats=variables.get("batch_stats"), batch_size=3, top_k=4,
+    )
+    serve, meta = load_serving(export_dir)
+    assert meta["frame_level"] and meta["model"] == "NetVladLstmModel"
+    values, indices = serve(feats, nf)
+    values = np.asarray(values)
+    assert values.shape == (3, 4)
+    from yt8m_tpu.data.quantize import dequantize
+
+    out = model.apply(
+        variables, dequantize(jnp.asarray(feats, jnp.float32)),
+        jnp.asarray(nf),
+        train=False, rngs={"sample": jax.random.PRNGKey(0)},
+    )
+    top = np.sort(np.asarray(out["predictions"]), axis=1)[:, -4:][:, ::-1]
+    np.testing.assert_allclose(values, top, atol=1e-5)
