@@ -142,6 +142,50 @@ void floats_of_feature(Slice feature, std::vector<float>* out) {
   });
 }
 
+
+// --- crc32c (Castagnoli) -----------------------------------------------------
+// TFRecord framing carries masked crc32c of the length field and of the
+// data; the reference's RecordReader validates them. Hardware path via
+// SSE4.2 (this file builds with -march=native), table fallback otherwise.
+
+#if defined(__SSE4_2__)
+inline uint32_t crc32c(const uint8_t* p, size_t n) {
+  uint64_t c = 0xFFFFFFFFu;
+  while (n >= 8) {
+    uint64_t v;
+    memcpy(&v, p, 8);
+    c = __builtin_ia32_crc32di(c, v);
+    p += 8;
+    n -= 8;
+  }
+  uint32_t c32 = static_cast<uint32_t>(c);
+  while (n--) c32 = __builtin_ia32_crc32qi(c32, *p++);
+  return c32 ^ 0xFFFFFFFFu;
+}
+#else
+inline uint32_t crc32c(const uint8_t* p, size_t n) {
+  static uint32_t table[256];
+  static bool init = false;
+  if (!init) {
+    for (uint32_t i = 0; i < 256; ++i) {
+      uint32_t c = i;
+      for (int k = 0; k < 8; ++k)
+        c = (c & 1) ? (0x82F63B78u ^ (c >> 1)) : (c >> 1);
+      table[i] = c;
+    }
+    init = true;
+  }
+  uint32_t c = 0xFFFFFFFFu;
+  for (size_t i = 0; i < n; ++i) c = table[(c ^ p[i]) & 0xFF] ^ (c >> 8);
+  return c ^ 0xFFFFFFFFu;
+}
+#endif
+
+inline uint32_t masked_crc32c(const uint8_t* p, size_t n) {
+  uint32_t crc = crc32c(p, n);
+  return ((crc >> 15) | (crc << 17)) + 0xa282ead8u;
+}
+
 // --- reader ------------------------------------------------------------------
 
 struct Reader {
@@ -155,6 +199,10 @@ struct Reader {
 
   std::vector<std::string> paths;
   size_t path_idx = 0;
+  // 0 = no CRC checks, 1 = length-field CRC (near-free, catches framing
+  // corruption), 2 = length + full data CRC (one extra pass over the
+  // bytes; reference RecordReader semantics). Default 1.
+  int validate_crc = 1;
 
   // mmap-backed shard: records become zero-copy slices into the file
   // mapping (no per-record fread copy — the parser's single biggest
@@ -211,6 +259,25 @@ struct Reader {
         unmap();  // truncated shard: drop the partial record
         continue;
       }
+      if (validate_crc >= 1) {
+        uint32_t stored;
+        memcpy(&stored, map_base + map_pos + 8, 4);
+        if (masked_crc32c(map_base + map_pos, 8) != stored) {
+          // Corrupt framing: resync is impossible (record boundaries
+          // derive from the length), so drop the rest of the shard —
+          // same policy as truncation.
+          unmap();
+          continue;
+        }
+      }
+      if (validate_crc >= 2) {
+        uint32_t stored;
+        memcpy(&stored, map_base + map_pos + 12 + len, 4);
+        if (masked_crc32c(map_base + map_pos + 12, len) != stored) {
+          unmap();
+          continue;
+        }
+      }
       rec->data = map_base + map_pos + 12;
       rec->len = static_cast<size_t>(len);
       map_pos += 12 + len + 4;
@@ -259,6 +326,10 @@ void parse_features_map(Slice features_msg, const std::string& distill_name,
 }  // namespace
 
 extern "C" {
+
+void yt8m_reader_set_validate(Reader* r, int level) {
+  r->validate_crc = level;
+}
 
 Reader* yt8m_reader_new(const char* const* feature_names,
                         const int* feature_sizes, int num_features,

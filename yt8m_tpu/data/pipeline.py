@@ -75,6 +75,9 @@ def get_native_lib():
             ctypes.c_void_p, ctypes.c_char_p
         ]
         lib.yt8m_reader_free.argtypes = [ctypes.c_void_p]
+        lib.yt8m_reader_set_validate.argtypes = [
+            ctypes.c_void_p, ctypes.c_int
+        ]
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
@@ -145,6 +148,9 @@ class NativeBatchIterator:
         handle = self.lib.yt8m_reader_new(
             arr_names, arr_sizes, len(names), cfg.max_frames,
             1 if cfg.frame_features else 0, distill, cfg.distill_dim,
+        )
+        self.lib.yt8m_reader_set_validate(
+            handle, int(getattr(cfg, "validate_crc", 1))
         )
         for f in files:
             self.lib.yt8m_reader_add_file(handle, f.encode())

@@ -51,6 +51,11 @@ class ReaderConfig:
     # predictions (fork capability: distillation ensemble, SURVEY.md §2.2).
     distill_feature: Optional[str] = None
     distill_dim: int = NUM_CLASSES
+    # Native-parser TFRecord CRC validation: 0 = off, 1 = length-field
+    # crc32c (near-free, catches framing corruption; default), 2 = length
+    # + full data crc32c (reference RecordReader semantics, one extra
+    # pass over the bytes). A failed check drops the rest of the shard.
+    validate_crc: int = 1
 
     @classmethod
     def video_level(cls, **kw) -> "ReaderConfig":
