@@ -236,6 +236,21 @@ class EvaluationMetrics:
         mean_hit = float(np.mean(topk_labels[:, 0] > 0))
 
         kv = np.asarray(labels_per_video, np.int64)
+        if int(kv.max(initial=0)) > big_k and not getattr(
+            self, "_warned_kv_overflow", False
+        ):
+            # PERR@k_v is truncated to the top-K triplets for such
+            # videos (the native pipeline caps labels/video at 64, so
+            # this only occurs with uncapped readers + K < label count).
+            import logging
+
+            logging.getLogger("yt8m_tpu.metrics").warning(
+                "video with %d labels exceeds device_metric_topk=%d; "
+                "PERR is truncated for such videos (raise "
+                "--device_metric_topk or use 0 for the dense path)",
+                int(kv.max()), big_k,
+            )
+            self._warned_kv_overflow = True
         ranked_hits = (topk_labels > 0) & (topk_values > 0)
         csum = np.cumsum(ranked_hits, axis=1)
         valid = kv > 0
