@@ -290,3 +290,41 @@ def test_sigkill_fault_injection_resume(dataset, tmp_path):
         )
     )
     assert out["gap"] > 0.0 and out["step"] >= first_ckpt
+
+
+def test_ema_weight_averaging(dataset, tmp_path):
+    """--ema_decay maintains Polyak-averaged params; eval can select them
+    with --use_ema_weights (SURVEY.md §5.4 idiomatic equivalent of
+    checkpoint weight-averaging)."""
+    train_dir = str(tmp_path / "ema")
+    Trainer(
+        _train_cfg(
+            dataset, train_dir, max_steps=30, ema_decay=0.9,
+            save_checkpoint_every_n_steps=30,
+        )
+    ).run()
+    common = dict(
+        eval_data_pattern=os.path.join(dataset, "validate-*.tfrecord"),
+        feature_names="mean_rgb,mean_audio", feature_sizes="32,8",
+        num_classes=C, batch_size=16, model="MoeModel",
+        train_dir=train_dir, hparams=ModelHParams(**HP_KW),
+    )
+    raw = evaluate_checkpoint(EvalConfig(**common))
+    ema = evaluate_checkpoint(EvalConfig(use_ema_weights=True, **common))
+    # Both evaluate; EMA lags the raw weights early in training, so the
+    # predictions (and typically GAP) differ.
+    assert raw["gap"] > 0.2
+    assert ema["gap"] > 0.0
+    assert ema["gap"] != raw["gap"]
+    # Asking for EMA weights from a non-EMA checkpoint is a clear error.
+    plain_dir = str(tmp_path / "plain")
+    Trainer(
+        _train_cfg(dataset, plain_dir, max_steps=10,
+                   save_checkpoint_every_n_steps=10)
+    ).run()
+    with pytest.raises(SystemExit):
+        evaluate_checkpoint(
+            EvalConfig(use_ema_weights=True, **{
+                **common, "train_dir": plain_dir,
+            })
+        )

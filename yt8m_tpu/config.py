@@ -60,6 +60,10 @@ class TrainConfig:
     # bf16 Adam first moment: ~30% less optimizer HBM traffic on the
     # VLAD-family's 302M-param FC (see BENCH_NOTES); float32 = exact.
     adam_mu_dtype: str = "float32"
+    # >0: maintain a Polyak/EMA average of the params each step
+    # (state.ema_params; serve it with --use_ema_weights) — the
+    # train-time equivalent of checkpoint weight-averaging.
+    ema_decay: float = 0.0
     max_steps: Optional[int] = None
 
     # run management
@@ -109,6 +113,8 @@ class EvalConfig:
     label_loss: str = "CrossEntropyLoss"
     optimizer: str = "AdamOptimizer"  # must match training (restore tree)
     adam_mu_dtype: str = "float32"    # must match training (restore tree)
+    # evaluate the EMA weights (requires training with --ema_decay > 0)
+    use_ema_weights: bool = False
     train_dir: str = "/tmp/yt8m_model/"
     run_once: bool = True
     num_readers: int = 1
@@ -139,6 +145,8 @@ class InferenceConfig:
     model: str = "LogisticModel"
     optimizer: str = "AdamOptimizer"  # must match training (restore tree)
     adam_mu_dtype: str = "float32"    # must match training (restore tree)
+    # serve the EMA weights (requires training with --ema_decay > 0)
+    use_ema_weights: bool = False
     train_dir: str = "/tmp/yt8m_model/"
     output_file: str = ""
     top_k: int = 20

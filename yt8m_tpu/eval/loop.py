@@ -98,11 +98,19 @@ def evaluate_checkpoint(
                 adam_mu_dtype=cfg.adam_mu_dtype,
             )
             state = init_train_state(
-                model, jax.random.PRNGKey(0), batch, tx, cfg.frame_features
+                model, jax.random.PRNGKey(0), batch, tx,
+                cfg.frame_features, ema=cfg.use_ema_weights,
             )
             ckpt = CheckpointManager(cfg.train_dir)
             step = step if step is not None else ckpt.latest_step()
             state = ckpt.restore(state, step)
+            if cfg.use_ema_weights:
+                if state.ema_params is None:
+                    raise SystemExit(
+                        "--use_ema_weights: checkpoint has no EMA params "
+                        "(train with --ema_decay > 0)"
+                    )
+                state = state.replace(params=state.ema_params)
             state = jax.device_put(
                 state,
                 jax.tree_util.tree_map(

@@ -176,11 +176,18 @@ def inference(config: InferenceConfig, state=None) -> dict:
                 )
                 state = init_train_state(
                     model, jax.random.PRNGKey(0), batch, tx,
-                    cfg.frame_features,
+                    cfg.frame_features, ema=cfg.use_ema_weights,
                 )
                 ckpt = CheckpointManager(cfg.train_dir)
                 state = ckpt.restore(state, cfg.checkpoint_step)
                 ckpt.close()
+                if cfg.use_ema_weights:
+                    if state.ema_params is None:
+                        raise SystemExit(
+                            "--use_ema_weights: checkpoint has no EMA "
+                            "params (train with --ema_decay > 0)"
+                        )
+                    state = state.replace(params=state.ema_params)
                 state = jax.device_put(
                     state,
                     jax.tree_util.tree_map(

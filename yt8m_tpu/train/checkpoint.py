@@ -67,9 +67,36 @@ class CheckpointManager:
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state)
-        return self._mgr.restore(
-            step, args=ocp.args.StandardRestore(abstract)
-        )
+        try:
+            return self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract)
+            )
+        except ValueError as e:
+            if "ema_params" not in str(e) or not hasattr(
+                state, "ema_params"
+            ):
+                raise
+            # EMA presence differs between the checkpoint and the
+            # caller's skeleton (e.g. eval without --use_ema_weights of
+            # an --ema_decay run, or resuming a pre-EMA checkpoint with
+            # EMA newly enabled). Restore with the matching skeleton and
+            # reconcile: extra on-disk EMA params are dropped; a missing
+            # on-disk average comes back as None (the trainer re-seeds).
+            if state.ema_params is None:
+                abstract = abstract.replace(
+                    ema_params=jax.tree_util.tree_map(
+                        ocp.utils.to_shape_dtype_struct, state.params
+                    )
+                )
+                restored = self._mgr.restore(
+                    step, args=ocp.args.StandardRestore(abstract)
+                )
+                return restored.replace(ema_params=None)
+            abstract = abstract.replace(ema_params=None)
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(abstract)
+            )
+            return restored.replace(ema_params=None)
 
     def close(self):
         self._mgr.close()

@@ -10,6 +10,7 @@ from __future__ import annotations
 import logging
 import time
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from yt8m_tpu.config import TrainConfig
@@ -119,6 +120,7 @@ class Trainer:
             self.loss_obj,
             regularization_penalty=cfg.regularization_penalty,
             aux_loss_weight=self.hparams.chain_aux_loss_weight,
+            ema_decay=cfg.ema_decay,
         )
         self.ckpt = CheckpointManager(
             cfg.train_dir,
@@ -137,11 +139,20 @@ class Trainer:
             sample_batch,
             self.tx,
             cfg.frame_features,
+            ema=cfg.ema_decay > 0,
         )
         latest = self.ckpt.latest_step()
         if latest is not None:
             log.info("restoring checkpoint at step %d", latest)
             state = self.ckpt.restore(state, latest)
+            if cfg.ema_decay > 0 and state.ema_params is None:
+                # resuming a pre-EMA checkpoint with EMA newly enabled:
+                # seed the average from the restored params.
+                state = state.replace(
+                    ema_params=jax.tree_util.tree_map(
+                        jnp.array, state.params
+                    )
+                )
         # Place: params/opt replicated or TP-sharded, per mesh policy.
         shardings = jax.tree_util.tree_map(
             lambda _: mesh_lib.replicated(self.mesh), state

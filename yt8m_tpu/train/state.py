@@ -18,9 +18,14 @@ from flax.training import train_state
 
 
 class TrainState(train_state.TrainState):
-    """flax TrainState + batch_stats (DBoF/NetVLAD use BatchNorm)."""
+    """flax TrainState + batch_stats (DBoF/NetVLAD use BatchNorm) +
+    optional Polyak/EMA weight average (--ema_decay; SURVEY.md §5.4:
+    the idiomatic train-time equivalent of checkpoint averaging)."""
 
     batch_stats: Any = flax.core.FrozenDict()
+    # None = EMA off (no pytree leaves, so pre-EMA checkpoints restore
+    # unchanged); a params-shaped tree when --ema_decay > 0.
+    ema_params: Any = None
 
 
 def clip_gradient_norms(max_norm: float) -> optax.GradientTransformation:
@@ -105,8 +110,13 @@ def init_train_state(
     sample_batch: dict,
     tx: optax.GradientTransformation,
     frame_level: bool,
+    ema: bool = False,
 ) -> TrainState:
-    """Initialise params/batch_stats from a (host, unsharded) sample batch."""
+    """Initialise params/batch_stats from a (host, unsharded) sample batch.
+
+    ema=True seeds ema_params with a copy of the initial params (the
+    checkpoint tree must match between save and restore, so eval/infer
+    pass --use_ema_weights to rebuild the same skeleton)."""
     feats = jnp.asarray(sample_batch["features"][:2])
     num_frames = jnp.asarray(sample_batch["num_frames"][:2])
     params_rng, sample_rng = jax.random.split(rng)
@@ -116,9 +126,13 @@ def init_train_state(
         num_frames,
         train=False,
     )
+    params = variables["params"]
     return TrainState.create(
         apply_fn=model.apply,
-        params=variables["params"],
+        params=params,
         batch_stats=variables.get("batch_stats", flax.core.FrozenDict()),
+        ema_params=(
+            jax.tree_util.tree_map(jnp.array, params) if ema else None
+        ),
         tx=tx,
     )

@@ -34,8 +34,12 @@ def make_train_step(
     regularization_penalty: float = 1.0,
     aux_loss_weight: float = 0.5,
     donate: bool = True,
+    ema_decay: float = 0.0,
 ):
-    """Returns train_step(state, batch, rng) -> (state, metrics)."""
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    ema_decay > 0 maintains a Polyak average of the params in
+    state.ema_params (serving-side selection via --use_ema_weights)."""
 
     def train_step(state, batch, rng):
         feats = _prepare_features(batch["features"])
@@ -90,6 +94,18 @@ def make_train_step(
         if new_model_state:
             state = state.replace(
                 batch_stats=new_model_state["batch_stats"]
+            )
+        if ema_decay > 0.0 and state.ema_params is not None:
+            d = jnp.float32(ema_decay)
+            state = state.replace(
+                ema_params=jax.tree_util.tree_map(
+                    lambda e, p: (
+                        d * e.astype(jnp.float32)
+                        + (1.0 - d) * p.astype(jnp.float32)
+                    ).astype(e.dtype),
+                    state.ema_params,
+                    state.params,
+                )
             )
         metrics = {
             "loss": total_loss,
