@@ -151,3 +151,43 @@ def test_checkpoint_ensembling(setup):
     )
     assert len(ids) == 32 and avg.shape == (32, C)
     assert os.path.exists(out_csv)
+
+
+def test_on_device_ensemble_serving_matches_host_average(setup, tmp_path):
+    """--ensemble_train_dirs serves N members in ONE jit (device-side
+    weighted average) and must reproduce the host-side average of the
+    members' dense dumps exactly."""
+    import numpy as np
+
+    from yt8m_tpu.ensemble.average import (
+        align_members,
+        load_prediction_dir,
+        weighted_average,
+    )
+
+    root, data, members = setup
+    out_dir = str(tmp_path / "ens_probs")
+    inference(
+        InferenceConfig(
+            input_data_pattern=os.path.join(data, "validate-*.tfrecord"),
+            feature_names="mean_rgb,mean_audio",
+            feature_sizes="16,4",
+            num_classes=C,
+            batch_size=16,
+            model="MoeModel",
+            ensemble_train_dirs=",".join(
+                [os.path.join(root, "member0"), os.path.join(root, "member1")]
+            ),
+            ensemble_models="MoeModel,LogisticModel",
+            ensemble_weights="0.7,0.3",
+            output_probabilities_dir=out_dir,
+            hparams=HP,
+        )
+    )
+    ids_e, ens = load_prediction_dir(out_dir)
+    ids, aligned = align_members(
+        [load_prediction_dir(d) for d in members]
+    )
+    want = weighted_average(aligned, [0.7, 0.3])
+    order = [ids.index(v) for v in ids_e]
+    np.testing.assert_allclose(ens, want[order], atol=1e-6)

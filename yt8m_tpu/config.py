@@ -153,6 +153,12 @@ class InferenceConfig:
     checkpoint_step: Optional[int] = None
     num_readers: int = 1
     reader_processes: bool = False
+    # On-device ensemble serving: comma-separated member train dirs —
+    # every member's forward runs in ONE jit over the shared batch and
+    # the weighted average happens on device (overrides --train_dir).
+    ensemble_train_dirs: str = ""
+    ensemble_models: str = ""   # per-member model classes (default: --model)
+    ensemble_weights: str = ""  # per-member weights (default: uniform)
     # pre-ensemble dump of dense probabilities (fork inference-pre-ensemble)
     output_probabilities_dir: str = ""
     # Dtype for pre-ensemble dense probability dumps. float32 by default:

@@ -80,7 +80,15 @@ def format_lines_text(video_ids, top_values, top_indices) -> str:
 def inference(config: InferenceConfig, state=None) -> dict:
     cfg = config
     hp = cfg.resolved_hparams()
-    model = get_model(cfg.model, hp)
+    if cfg.ensemble_train_dirs:
+        # On-device ensemble serving: a meta-model averaging N members
+        # inside one jit (infer/ensemble_serve.py); the rest of this
+        # pipeline is unchanged.
+        from yt8m_tpu.infer.ensemble_serve import build_ensemble
+
+        model = build_ensemble(cfg)
+    else:
+        model = get_model(cfg.model, hp)
     mesh = mesh_lib.make_mesh()
     rc = reader_config_from(cfg)
 
@@ -168,6 +176,13 @@ def inference(config: InferenceConfig, state=None) -> dict:
         if f:
             f.write("VideoId,LabelConfidencePairs\n")
         for batch in it:
+            if not restored and cfg.ensemble_train_dirs:
+                from yt8m_tpu.infer.ensemble_serve import (
+                    restore_ensemble_state,
+                )
+
+                state = restore_ensemble_state(cfg, model, batch, mesh)
+                restored = True
             if not restored:
                 tx = make_optimizer(
                     optimizer=cfg.optimizer,
