@@ -191,3 +191,44 @@ def test_on_device_ensemble_serving_matches_host_average(setup, tmp_path):
     want = weighted_average(aligned, [0.7, 0.3])
     order = [ids.index(v) for v in ids_e]
     np.testing.assert_allclose(ens, want[order], atol=1e-6)
+
+
+def test_direct_ensemble_eval_matches_dump_average_gap(setup):
+    """eval.py --ensemble_train_dirs computes the ensemble's GAP directly
+    (device-side average) == GAP of the host-averaged member dumps."""
+    import numpy as np
+
+    from yt8m_tpu.config import EvalConfig
+    from yt8m_tpu.ensemble.average import (
+        align_members,
+        labels_from_tfrecords,
+        load_prediction_dir,
+        weighted_average,
+    )
+    from yt8m_tpu.eval.loop import evaluate_checkpoint
+    from yt8m_tpu.metrics import calculate_gap
+
+    root, data, members = setup
+    out = evaluate_checkpoint(
+        EvalConfig(
+            eval_data_pattern=os.path.join(data, "validate-*.tfrecord"),
+            feature_names="mean_rgb,mean_audio",
+            feature_sizes="16,4",
+            num_classes=C,
+            batch_size=16,
+            model="MoeModel",
+            ensemble_train_dirs=",".join(
+                [os.path.join(root, "member0"), os.path.join(root, "member1")]
+            ),
+            ensemble_models="MoeModel,LogisticModel",
+            hparams=HP,
+        )
+    )
+    ids, aligned = align_members([load_prediction_dir(d) for d in members])
+    avg = weighted_average(aligned)
+    label_map = labels_from_tfrecords(
+        os.path.join(data, "validate-*.tfrecord"), False, C
+    )
+    labels = np.stack([label_map[v] for v in ids])
+    want = calculate_gap(avg, labels, top_k=20)
+    assert out["gap"] == pytest.approx(want, abs=1e-9)

@@ -115,6 +115,11 @@ class EvalConfig:
     adam_mu_dtype: str = "float32"    # must match training (restore tree)
     # evaluate the EMA weights (requires training with --ema_decay > 0)
     use_ema_weights: bool = False
+    # Direct ensemble evaluation: comma-separated member train dirs
+    # (device-side weighted average in one jit; overrides --train_dir)
+    ensemble_train_dirs: str = ""
+    ensemble_models: str = ""
+    ensemble_weights: str = ""
     train_dir: str = "/tmp/yt8m_model/"
     run_once: bool = True
     num_readers: int = 1

@@ -37,7 +37,14 @@ def evaluate_checkpoint(
     """Evaluate one checkpoint (or a passed-in state); returns metric dict."""
     cfg = config
     hp = cfg.resolved_hparams()
-    model = get_model(cfg.model, hp)
+    if getattr(cfg, "ensemble_train_dirs", ""):
+        # Direct ensemble evaluation: members averaged on device in one
+        # jit (infer/ensemble_serve.py) — no dump/average round trip.
+        from yt8m_tpu.infer.ensemble_serve import build_ensemble
+
+        model = build_ensemble(cfg)
+    else:
+        model = get_model(cfg.model, hp)
     loss_obj = losses_lib.get_loss(cfg.label_loss)
     mesh = mesh_lib.make_mesh()
     rc = reader_config_from(cfg)
@@ -92,6 +99,14 @@ def evaluate_checkpoint(
 
     t0 = time.time()
     for batch in it:
+        if not restored and getattr(cfg, "ensemble_train_dirs", ""):
+            from yt8m_tpu.infer.ensemble_serve import (
+                restore_ensemble_state,
+            )
+
+            state = restore_ensemble_state(cfg, model, batch, mesh)
+            step = step if step is not None else -1  # no single ckpt step
+            restored = True
         if not restored:
             tx = make_optimizer(
                 optimizer=cfg.optimizer, global_batch_size=cfg.batch_size,
