@@ -255,8 +255,13 @@ struct Reader {
       }
       uint64_t len;
       memcpy(&len, map_base + map_pos, 8);  // LE hosts (x86/ARM LE)
-      if (map_pos + 12 + len + 4 > map_len) {
-        unmap();  // truncated shard: drop the partial record
+      // Subtraction-form bounds check: the additive form
+      // (map_pos + 12 + len + 4 > map_len) wraps for a crafted
+      // len near 2^64 and would pass, sending a ~2^64-byte Slice to
+      // the parser/CRC. rem >= 0 because map_pos + 12 <= map_len here.
+      size_t rem = map_len - map_pos - 12;
+      if (rem < 4 || len > rem - 4) {
+        unmap();  // truncated/corrupt length: drop the partial record
         continue;
       }
       if (validate_crc >= 1) {
@@ -266,6 +271,9 @@ struct Reader {
           // Corrupt framing: resync is impossible (record boundaries
           // derive from the length), so drop the rest of the shard —
           // same policy as truncation.
+          fprintf(stderr,
+                  "yt8m_io: length-crc mismatch at offset %zu; "
+                  "dropping rest of shard\n", map_pos);
           unmap();
           continue;
         }
@@ -274,7 +282,15 @@ struct Reader {
         uint32_t stored;
         memcpy(&stored, map_base + map_pos + 12 + len, 4);
         if (masked_crc32c(map_base + map_pos + 12, len) != stored) {
-          unmap();
+          // Payload corruption with VALID framing: the record boundary
+          // is trustworthy (length crc passed), so skip just this
+          // record instead of silently losing the rest of the shard
+          // (the reference surfaces DataLossError; we diagnose + skip).
+          fprintf(stderr,
+                  "yt8m_io: data-crc mismatch at offset %zu "
+                  "(len %llu); skipping record\n", map_pos,
+                  (unsigned long long)len);
+          map_pos += 12 + len + 4;
           continue;
         }
       }

@@ -50,6 +50,10 @@ def _count(path, validate_crc=1):
         ("truncated_mid_record", lambda d: d[:-37], 7),
         ("truncated_in_header", lambda d: d[:7], 0),
         ("huge_length", lambda d: struct.pack("<Q", 2**60) + d[8:], 0),
+        # length crafted so the additive bounds check would WRAP past
+        # the mapping (the subtraction-form check must reject it)
+        ("wrapping_length",
+         lambda d: struct.pack("<Q", 2**64 - 16) + d[8:], 0),
         ("len_past_eof",
          lambda d: struct.pack("<Q", len(d) + 1000) + d[8:], 0),
         ("zero_file", lambda d: b"", 0),
@@ -81,6 +85,8 @@ def test_crc_levels(good_shard, tmp_path):
     # length-crc corruption: caught at level >= 1 (shard dropped)
     assert _count(bad_len, 0) == 8
     assert _count(bad_len, 1) == 0
-    # payload corruption: framing fine, only level 2 catches it
+    # payload corruption: framing fine, only level 2 catches it — and
+    # because the record boundary is CRC-trusted, only the ONE corrupt
+    # record is skipped, not the rest of the shard
     assert _count(bad_byte, 1) == 8
-    assert _count(bad_byte, 2) == 0
+    assert _count(bad_byte, 2) == 7

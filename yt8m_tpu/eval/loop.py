@@ -23,7 +23,6 @@ from yt8m_tpu.parallel import mesh as mesh_lib
 from yt8m_tpu.train import losses as losses_lib
 from yt8m_tpu.train.checkpoint import CheckpointManager
 from yt8m_tpu.train.loop import reader_config_from
-from yt8m_tpu.train.state import init_train_state, make_optimizer
 from yt8m_tpu.train.step import make_eval_step, make_sparse_eval_step
 
 log = logging.getLogger("yt8m_tpu.eval")
@@ -71,7 +70,6 @@ def evaluate_checkpoint(
     rng = jax.random.PRNGKey(cfg.seed)
 
     restored = state is not None
-    ckpt = None
     n_videos = 0
     pending = None
 
@@ -97,40 +95,20 @@ def evaluate_checkpoint(
                 mask,
             )
 
+    ensemble_mode = bool(getattr(cfg, "ensemble_train_dirs", ""))
     t0 = time.time()
     for batch in it:
-        if not restored and getattr(cfg, "ensemble_train_dirs", ""):
+        if not restored:
             from yt8m_tpu.infer.ensemble_serve import (
-                restore_ensemble_state,
+                restore_serving_state,
             )
 
-            state = restore_ensemble_state(cfg, model, batch, mesh)
-            step = step if step is not None else -1  # no single ckpt step
-            restored = True
-        if not restored:
-            tx = make_optimizer(
-                optimizer=cfg.optimizer, global_batch_size=cfg.batch_size,
-                adam_mu_dtype=cfg.adam_mu_dtype,
-            )
-            state = init_train_state(
-                model, jax.random.PRNGKey(0), batch, tx,
-                cfg.frame_features, ema=cfg.use_ema_weights,
-            )
-            ckpt = CheckpointManager(cfg.train_dir)
-            step = step if step is not None else ckpt.latest_step()
-            state = ckpt.restore(state, step)
-            if cfg.use_ema_weights:
-                if state.ema_params is None:
-                    raise SystemExit(
-                        "--use_ema_weights: checkpoint has no EMA params "
-                        "(train with --ema_decay > 0)"
-                    )
-                state = state.replace(params=state.ema_params)
-            state = jax.device_put(
-                state,
-                jax.tree_util.tree_map(
-                    lambda _: mesh_lib.replicated(mesh), state
-                ),
+            # Honours an explicit `step` (falls back to
+            # --checkpoint_step, then latest); ensembles restore every
+            # member at that step and report step=None.
+            state, step = restore_serving_state(
+                cfg, model, batch, mesh,
+                step=step if step is not None else cfg.checkpoint_step,
             )
             restored = True
         device_batch = mesh_lib.shard_batch(batch, mesh)
@@ -146,14 +124,12 @@ def evaluate_checkpoint(
         n_videos += int(batch["batch_mask"].sum())
     if pending is not None:
         _drain(pending)
-    if ckpt is not None:
-        ckpt.close()
 
     out = metrics.get()
     out["videos_per_sec"] = n_videos / max(time.time() - t0, 1e-9)
     out["step"] = step
     mean_ap = float(np.mean(out["aps"])) if out["aps"] else 0.0
-    if cfg.train_dir:
+    if cfg.train_dir and not ensemble_mode:
         from yt8m_tpu.utils.summary import SummaryWriter
 
         sw = SummaryWriter(cfg.train_dir + "/eval")

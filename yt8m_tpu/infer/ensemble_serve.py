@@ -25,11 +25,21 @@ import jax.numpy as jnp
 
 
 @flax.struct.dataclass
-class EnsembleState:
-    # A pytree (flax.struct) so the jitted predict steps take it as a
-    # traced argument like a TrainState.
-    params: Any       # tuple of member param trees
-    batch_stats: Any  # tuple of member batch_stats (FrozenDicts)
+class ServingState:
+    """Weights-only serving state: a pytree (flax.struct) so the jitted
+    predict/eval steps take it as a traced argument like a TrainState —
+    but WITHOUT the optimizer state, so serving never spends HBM (or
+    host->device transfer) on Adam moments (~2x the param bytes).
+
+    Single model: params/batch_stats are the model's trees.
+    Ensemble: tuples of per-member trees (EnsembleServe.apply order)."""
+
+    params: Any
+    batch_stats: Any
+
+
+# Backwards-compatible name for the ensemble case.
+EnsembleState = ServingState
 
 
 class EnsembleServe:
@@ -103,40 +113,67 @@ def build_ensemble(cfg) -> EnsembleServe:
     return ens
 
 
-def restore_ensemble_state(
-    cfg, ensemble: EnsembleServe, sample_batch, mesh
-) -> EnsembleState:
-    """Restore every member's checkpoint into one EnsembleState."""
-    from yt8m_tpu.parallel import mesh as mesh_lib
+def _restore_member(cfg, model, train_dir, sample_batch, step):
+    """Restore one member's weights on HOST; returns (params, stats)."""
     from yt8m_tpu.train.checkpoint import CheckpointManager
     from yt8m_tpu.train.state import init_train_state, make_optimizer
 
-    params, stats = [], []
-    for model, train_dir in zip(ensemble.models, ensemble.train_dirs):
-        tx = make_optimizer(
-            optimizer=cfg.optimizer,
-            global_batch_size=cfg.batch_size,
-            adam_mu_dtype=cfg.adam_mu_dtype,
+    tx = make_optimizer(
+        optimizer=cfg.optimizer,
+        global_batch_size=cfg.batch_size,
+        adam_mu_dtype=cfg.adam_mu_dtype,
+    )
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), sample_batch, tx,
+        cfg.frame_features, ema=getattr(cfg, "use_ema_weights", False),
+    )
+    ckpt = CheckpointManager(train_dir)
+    resolved = step if step is not None else ckpt.latest_step()
+    state = ckpt.restore(state, resolved)
+    ckpt.close()
+    if getattr(cfg, "use_ema_weights", False):
+        if state.ema_params is None:
+            raise SystemExit(
+                f"--use_ema_weights: {train_dir} has no EMA params "
+                "(train with --ema_decay > 0)"
+            )
+        state = state.replace(params=state.ema_params)
+    return state.params, state.batch_stats, resolved
+
+
+def restore_serving_state(
+    cfg, model, sample_batch, mesh, step=None
+):
+    """(ServingState on device, resolved step | None).
+
+    The shared first-batch restore for eval/inference: handles both a
+    single model and an EnsembleServe meta-model, selects EMA weights
+    when asked, and device_puts ONLY params/batch_stats (replicated on
+    the mesh) — optimizer state never leaves the host.
+    """
+    from yt8m_tpu.parallel import mesh as mesh_lib
+
+    if isinstance(model, EnsembleServe):
+        params, stats = [], []
+        for member, train_dir in zip(model.models, model.train_dirs):
+            p, s, _ = _restore_member(
+                cfg, member, train_dir, sample_batch, step
+            )
+            params.append(p)
+            stats.append(s)
+        state = ServingState(
+            params=tuple(params), batch_stats=tuple(stats)
         )
-        state = init_train_state(
-            model, jax.random.PRNGKey(0), sample_batch, tx,
-            cfg.frame_features, ema=cfg.use_ema_weights,
+        resolved = None  # no single checkpoint step describes an ensemble
+    else:
+        p, s, resolved = _restore_member(
+            cfg, model, cfg.train_dir, sample_batch, step
         )
-        ckpt = CheckpointManager(train_dir)
-        state = ckpt.restore(state, cfg.checkpoint_step)
-        ckpt.close()
-        if cfg.use_ema_weights:
-            if state.ema_params is None:
-                raise SystemExit(
-                    f"--use_ema_weights: {train_dir} has no EMA params"
-                )
-            state = state.replace(params=state.ema_params)
-        state = jax.device_put(
-            state,
-            jax.tree_util.tree_map(
-                lambda _: mesh_lib.replicated(mesh), state
-            ),
-        )
-        params.append(state.params)
-        stats.append(state.batch_stats)
-    return EnsembleState(params=tuple(params), batch_stats=tuple(stats))
+        state = ServingState(params=p, batch_stats=s)
+    state = jax.device_put(
+        state,
+        jax.tree_util.tree_map(
+            lambda _: mesh_lib.replicated(mesh), state
+        ),
+    )
+    return state, resolved

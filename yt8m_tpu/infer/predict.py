@@ -23,9 +23,7 @@ from yt8m_tpu.config import InferenceConfig
 from yt8m_tpu.data.pipeline import make_batch_iterator
 from yt8m_tpu.models import get_model
 from yt8m_tpu.parallel import mesh as mesh_lib
-from yt8m_tpu.train.checkpoint import CheckpointManager
 from yt8m_tpu.train.loop import reader_config_from
-from yt8m_tpu.train.state import init_train_state, make_optimizer
 from yt8m_tpu.train.step import make_predict_step, make_topk_predict_step
 
 log = logging.getLogger("yt8m_tpu.infer")
@@ -176,38 +174,13 @@ def inference(config: InferenceConfig, state=None) -> dict:
         if f:
             f.write("VideoId,LabelConfidencePairs\n")
         for batch in it:
-            if not restored and cfg.ensemble_train_dirs:
+            if not restored:
                 from yt8m_tpu.infer.ensemble_serve import (
-                    restore_ensemble_state,
+                    restore_serving_state,
                 )
 
-                state = restore_ensemble_state(cfg, model, batch, mesh)
-                restored = True
-            if not restored:
-                tx = make_optimizer(
-                    optimizer=cfg.optimizer,
-                    global_batch_size=cfg.batch_size,
-                    adam_mu_dtype=cfg.adam_mu_dtype,
-                )
-                state = init_train_state(
-                    model, jax.random.PRNGKey(0), batch, tx,
-                    cfg.frame_features, ema=cfg.use_ema_weights,
-                )
-                ckpt = CheckpointManager(cfg.train_dir)
-                state = ckpt.restore(state, cfg.checkpoint_step)
-                ckpt.close()
-                if cfg.use_ema_weights:
-                    if state.ema_params is None:
-                        raise SystemExit(
-                            "--use_ema_weights: checkpoint has no EMA "
-                            "params (train with --ema_decay > 0)"
-                        )
-                    state = state.replace(params=state.ema_params)
-                state = jax.device_put(
-                    state,
-                    jax.tree_util.tree_map(
-                        lambda _: mesh_lib.replicated(mesh), state
-                    ),
+                state, _ = restore_serving_state(
+                    cfg, model, batch, mesh, step=cfg.checkpoint_step
                 )
                 restored = True
             device_batch = mesh_lib.shard_batch(batch, mesh)

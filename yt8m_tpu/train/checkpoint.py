@@ -7,6 +7,7 @@ train dir has one, mirroring Supervisor's auto-recovery.
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 from typing import Optional
@@ -72,30 +73,40 @@ class CheckpointManager:
                 step, args=ocp.args.StandardRestore(abstract)
             )
         except ValueError as e:
-            if "ema_params" not in str(e) or not hasattr(
-                state, "ema_params"
-            ):
-                raise
-            # EMA presence differs between the checkpoint and the
+            # EMA presence may differ between the checkpoint and the
             # caller's skeleton (e.g. eval without --use_ema_weights of
             # an --ema_decay run, or resuming a pre-EMA checkpoint with
-            # EMA newly enabled). Restore with the matching skeleton and
-            # reconcile: extra on-disk EMA params are dropped; a missing
-            # on-disk average comes back as None (the trainer re-seeds).
+            # EMA newly enabled). Retry ONCE with the toggled-EMA
+            # skeleton — structural, not keyed on orbax's error wording;
+            # if the retry also fails, the original error propagates.
+            if not hasattr(state, "ema_params"):
+                raise
             if state.ema_params is None:
-                abstract = abstract.replace(
+                retry = abstract.replace(
                     ema_params=jax.tree_util.tree_map(
                         ocp.utils.to_shape_dtype_struct, state.params
                     )
                 )
+            else:
+                retry = abstract.replace(ema_params=None)
+            try:
                 restored = self._mgr.restore(
-                    step, args=ocp.args.StandardRestore(abstract)
+                    step, args=ocp.args.StandardRestore(retry)
                 )
-                return restored.replace(ema_params=None)
-            abstract = abstract.replace(ema_params=None)
-            restored = self._mgr.restore(
-                step, args=ocp.args.StandardRestore(abstract)
-            )
+            except Exception:
+                raise e
+            if state.ema_params is None:
+                # The checkpoint carries a Polyak average the caller did
+                # not ask for. Dropping it is destructive once rotation
+                # deletes the old checkpoints — say so.
+                logging.getLogger("yt8m_tpu.checkpoint").warning(
+                    "checkpoint step %s carries EMA params but the run "
+                    "was configured without them (--ema_decay=0 / no "
+                    "--use_ema_weights); the Polyak average is DROPPED "
+                    "from the restored state and will be lost from new "
+                    "checkpoints",
+                    step,
+                )
             return restored.replace(ema_params=None)
 
     def close(self):
