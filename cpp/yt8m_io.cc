@@ -76,7 +76,8 @@ bool for_each_field(Slice msg, Fn&& fn) {
     } else if (wire == 2) {
       uint64_t len;
       if (!read_varint(p, end, &len)) return false;
-      if (p + len > end) return false;
+      // subtraction form: p + len wraps for a crafted 64-bit length
+      if (len > static_cast<uint64_t>(end - p)) return false;
       fn(field, wire, Slice{p, static_cast<size_t>(len)});
       p += len;
     } else if (wire == 5) {

@@ -90,3 +90,34 @@ def test_crc_levels(good_shard, tmp_path):
     # record is skipped, not the rest of the shard
     assert _count(bad_byte, 1) == 8
     assert _count(bad_byte, 2) == 7
+
+
+def test_framed_garbage_payload_fuzz(tmp_path):
+    """Adversarial protobuf payloads behind VALID TFRecord framing (so
+    they reach the field walker): random bytes, truncated varints, and
+    crafted huge wire-2 lengths must never crash — the walker's
+    subtraction-form bounds checks reject them."""
+    from yt8m_tpu.data.crc32c import masked_crc_bytes
+
+    rng = np.random.default_rng(42)
+    p = str(tmp_path / "fuzz.tfrecord")
+    with open(p, "wb") as f:
+        payloads = [bytes(rng.integers(0, 256, int(n), dtype=np.uint8))
+                    for n in rng.integers(1, 400, 64)]
+        # crafted: field 1 wire 2 with a huge varint length
+        payloads.append(
+            b"\x0a" + b"\xff\xff\xff\xff\xff\xff\xff\xff\xff\x01" + b"xx"
+        )
+        # crafted: truncated varint at the end
+        payloads.append(b"\x0a\xff")
+        # crafted: nested wire-2 lengths that exactly hit the boundary
+        payloads.append(b"\x0a\x02\x0a\x00")
+        for payload in payloads:
+            length = struct.pack("<Q", len(payload))
+            f.write(length)
+            f.write(masked_crc_bytes(length))
+            f.write(payload)
+            f.write(masked_crc_bytes(payload))
+    for lvl in (0, 1, 2):
+        n = _count(p, lvl)  # must terminate without crashing
+        assert n >= 0
