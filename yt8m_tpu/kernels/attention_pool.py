@@ -29,7 +29,7 @@ def _round_up(x: int, m: int) -> int:
 
 def _kernel(
     nf_ref, frames_ref, q_ref, out_ref, *,
-    deq_scale: float, deq_bias: float, is_u8: bool,
+    deq_scale: float, deq_bias: float, is_u8: bool, dtype,
 ):
     b = pl.program_id(0)
     if is_u8:
@@ -39,8 +39,8 @@ def _kernel(
         x = frames_ref[0].astype(jnp.float32)
 
     scores = jnp.dot(
-        x.astype(jnp.bfloat16),
-        q_ref[...].astype(jnp.bfloat16),
+        x.astype(dtype),
+        q_ref[...].astype(dtype),
         preferred_element_type=jnp.float32,
     )  # [F, H]
     nf = nf_ref[b]
@@ -51,15 +51,15 @@ def _kernel(
     attn = e / jnp.sum(e, axis=0, keepdims=True)  # softmax over time
 
     pooled = jax.lax.dot_general(
-        attn.astype(jnp.bfloat16),
-        x.astype(jnp.bfloat16),
+        attn.astype(dtype),
+        x.astype(dtype),
         dimension_numbers=(((0,), (0,)), ((), ())),  # [H, D]
         preferred_element_type=jnp.float32,
     )
     out_ref[0] = pooled
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "dtype"))
 def attention_pool(
     frames,      # [B, F, D] uint8 or float32
     num_frames,  # [B] int32
@@ -67,6 +67,7 @@ def attention_pool(
     deq_scale: float = 4.0 / 255.0,
     deq_bias: float = 4.0 / 512.0 - 2.0,
     interpret: bool = False,
+    dtype=jnp.bfloat16,  # matmul compute dtype (pass the model's hp.dtype)
 ):
     """Per-head masked attention pooling -> [B, H, D] float32."""
     b, f, d = frames.shape
@@ -98,6 +99,7 @@ def attention_pool(
             deq_scale=float(deq_scale),
             deq_bias=float(deq_bias),
             is_u8=is_u8,
+            dtype=jnp.dtype(dtype),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, d), jnp.float32),

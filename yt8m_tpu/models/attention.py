@@ -50,7 +50,9 @@ class _AttentionPool(nn.Module):
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
         ):
-            pooled = attention_pool(frames, num_frames, query)
+            pooled = attention_pool(
+                frames, num_frames, query, dtype=self.dtype,
+            )
             return pooled.reshape(b, h * d), l2_loss(query)
 
         x = ensure_float(frames)

@@ -122,10 +122,15 @@ class _LstmLayer(nn.Module):
         )
 
         interpret = pallas_interpret_forced()
+        # The recurrence kernels compute in bf16 (the serving/training
+        # contract); a --compute_dtype=float32 request falls back to the
+        # scan path, which honours the dtype exactly (interpret-mode
+        # tests keep exercising the kernels at any dtype).
         if (
             self.use_pallas
             and kernels_enabled()
             and not self.is_initializing()
+            and (jnp.dtype(self.dtype) == jnp.bfloat16 or interpret)
             and (jax.default_backend() == "tpu" or interpret)
         ):
             # Fused path: batched input projection + Pallas recurrence
@@ -225,10 +230,15 @@ class _GruLayer(nn.Module):
         )
 
         interpret = pallas_interpret_forced()
+        # The recurrence kernels compute in bf16 (the serving/training
+        # contract); a --compute_dtype=float32 request falls back to the
+        # scan path, which honours the dtype exactly (interpret-mode
+        # tests keep exercising the kernels at any dtype).
         if (
             self.use_pallas
             and kernels_enabled()
             and not self.is_initializing()
+            and (jnp.dtype(self.dtype) == jnp.bfloat16 or interpret)
             and (jax.default_backend() == "tpu" or interpret)
         ):
             # Fused path: batched input projections + Pallas recurrence
