@@ -5,7 +5,7 @@ The headline bench.py measures the device serving step with batches
 generated on device (justified under the axon tunnel — see BENCH_NOTES
 "Methodology"). This measures the real chain the reference's
 inference.py runs: TFRecord shards on disk, host-side parsing
-(--num_readers processes), host->device transfer, jitted forward +
+(--num_readers threads), host->device transfer, jitted forward +
 top-20, CSV formatting — reporting honest disk-to-CSV videos/sec.
 
 Usage:

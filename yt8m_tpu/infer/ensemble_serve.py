@@ -45,7 +45,8 @@ EnsembleState = ServingState
 class EnsembleServe:
     """Weighted-average meta-model over member models (serving only)."""
 
-    def __init__(self, models: Sequence, weights: Sequence[float]):
+    def __init__(self, models: Sequence, weights: Sequence[float],
+                 train_dirs: Sequence[str] = ()):
         if len(models) != len(weights):
             raise ValueError("one weight per member required")
         total = float(sum(weights))
@@ -53,6 +54,7 @@ class EnsembleServe:
             raise ValueError("ensemble weights must sum to > 0")
         self.models = list(models)
         self.weights = [float(w) / total for w in weights]
+        self.train_dirs = list(train_dirs)  # for restore_serving_state
 
     def apply(self, variables, feats, num_frames, train: bool = False,
               teacher=None, rngs=None):
@@ -108,9 +110,9 @@ def build_ensemble(cfg) -> EnsembleServe:
             f"{len(dirs)} --ensemble_train_dirs"
         )
     hp = cfg.resolved_hparams()
-    ens = EnsembleServe([get_model(n, hp) for n in names], weights)
-    ens.train_dirs = dirs
-    return ens
+    return EnsembleServe(
+        [get_model(n, hp) for n in names], weights, train_dirs=dirs
+    )
 
 
 def _restore_member(cfg, model, train_dir, sample_batch, step):
