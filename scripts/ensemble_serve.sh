@@ -1,0 +1,25 @@
+#!/bin/bash
+# ON-DEVICE ensemble serving: N member checkpoints in one jitted step
+# (device-side weighted average + single top-20) — the TPU-native
+# upgrade of ensemble_pipeline.sh's dump-then-average flow. Weights can
+# come from a prior `cli/ensemble.py --fit_weights` run on validate.
+#
+#   MEMBER_DIRS=runs/dbof,runs/netvlad MEMBER_MODELS=DbofModel,GatedNetVladModel \
+#     WEIGHTS=0.6,0.4 bash scripts/ensemble_serve.sh
+set -e
+DATA=${DATA:-data}
+MEMBER_DIRS=${MEMBER_DIRS:-runs/video_moe,runs/dbof}
+MEMBER_MODELS=${MEMBER_MODELS:-MoeModel,DbofModel}
+WEIGHTS=${WEIGHTS:-}  # empty = uniform
+OUT=${OUT:-ensemble_preds.csv}
+
+python inference.py \
+  --input_data_pattern="$DATA/test*.tfrecord" \
+  --feature_names=rgb,audio --feature_sizes=1024,128 --frame_features=True \
+  --ensemble_train_dirs="$MEMBER_DIRS" \
+  --ensemble_models="$MEMBER_MODELS" \
+  ${WEIGHTS:+--ensemble_weights="$WEIGHTS"} \
+  --batch_size=512 --top_k=20 \
+  --output_file="$OUT" \
+  "$@"
+echo "wrote $OUT"
