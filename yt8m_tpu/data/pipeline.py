@@ -287,20 +287,13 @@ class NativeBatchIterator:
             yield item
 
 
-class ThreadedBatchIterator:
-    """Parallel parse: files fanned across reader THREADS (the reference's
-    --num_readers semantics — train.py :: get_input_data_tensors ran N
-    parse threads into shuffle_batch_join).
-
-    Each thread runs its own native reader handle over a disjoint
-    round-robin file subset; the ctypes call releases the GIL for the
-    whole C++ parse+copy, so threads genuinely parallelize on multi-core
-    hosts — and unlike the process fan-out there is NO pickle/pipe copy
-    of the 345 KB/video batches: finished numpy batch dicts are handed
-    over by reference through a bounded queue. Batch order interleaves
-    across threads (like shuffle_batch_join); every video appears exactly
-    once per epoch.
-    """
+class _FanoutBatchIterator:
+    """Shared scaffolding for the parallel-parse iterators: glob +
+    round-robin file sharding + worker-count clamp. Subclasses provide
+    __iter__ with their worker substrate (threads vs spawn processes —
+    the queue/sentinel/error marshalling genuinely differs: object
+    identity and exceptions survive a queue.Queue but not a pickling
+    mp.Queue)."""
 
     def __init__(
         self,
@@ -322,6 +315,29 @@ class ThreadedBatchIterator:
         self.num_workers = max(1, min(num_workers, len(self.files)))
         self.queue_depth = queue_depth
         self.iter_kw = iter_kw
+
+    def _file_shards(self):
+        shards = [
+            self.files[w :: self.num_workers]
+            for w in range(self.num_workers)
+        ]
+        return [s for s in shards if s]
+
+
+class ThreadedBatchIterator(_FanoutBatchIterator):
+    """Parallel parse: files fanned across reader THREADS (the reference's
+    --num_readers semantics — train.py :: get_input_data_tensors ran N
+    parse threads into shuffle_batch_join).
+
+    Each thread runs its own native reader handle over a disjoint
+    round-robin file subset; the ctypes call releases the GIL for the
+    whole C++ parse+copy, so threads genuinely parallelize on multi-core
+    hosts — and unlike the process fan-out there is NO pickle/pipe copy
+    of the 345 KB/video batches: finished numpy batch dicts are handed
+    over by reference through a bounded queue. Batch order interleaves
+    across threads (like shuffle_batch_join); every video appears exactly
+    once per epoch.
+    """
 
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(
@@ -364,10 +380,7 @@ class ThreadedBatchIterator:
                         continue
 
         threads = []
-        for w in range(self.num_workers):
-            files_w = self.files[w :: self.num_workers]
-            if not files_w:
-                continue
+        for files_w in self._file_shards():
             t = threading.Thread(
                 target=worker, args=(files_w,), daemon=True
             )
@@ -387,7 +400,7 @@ class ThreadedBatchIterator:
             stop.set()
 
 
-class MultiprocessBatchIterator:
+class MultiprocessBatchIterator(_FanoutBatchIterator):
     """Parallel parse: files fanned across worker processes.
 
     Reference semantics: --num_readers parallel parse threads feeding
@@ -398,26 +411,11 @@ class MultiprocessBatchIterator:
     every video appears exactly once per epoch.
     """
 
-    def __init__(
-        self,
-        file_pattern,
-        config: ReaderConfig,
-        batch_size: int,
-        num_workers: int = 4,
-        queue_depth: int = 4,
-        **iter_kw,
-    ):
-        if isinstance(file_pattern, str):
-            self.files = glob_files(file_pattern)
-        else:
-            self.files = list(file_pattern)
-        if not self.files:
-            raise IOError(f"no files matched {file_pattern!r}")
-        self.config = config
-        self.batch_size = batch_size
-        self.num_workers = max(1, min(num_workers, len(self.files)))
-        self.queue_depth = queue_depth
-        self.iter_kw = iter_kw
+    def __init__(self, *args, queue_depth: int = 4, **kw):
+        # deeper queue than the threaded variant: pickled batches arrive
+        # burstier than in-process handoffs
+        super().__init__(*args, queue_depth=queue_depth, **kw)
+
 
     @staticmethod
     def _worker(files, config, batch_size, iter_kw, q):
@@ -440,10 +438,7 @@ class MultiprocessBatchIterator:
         ctx = mp.get_context("spawn")
         q = ctx.Queue(maxsize=self.queue_depth * self.num_workers)
         procs = []
-        for w in range(self.num_workers):
-            files_w = self.files[w :: self.num_workers]
-            if not files_w:
-                continue
+        for files_w in self._file_shards():
             p = ctx.Process(
                 target=self._worker,
                 args=(files_w, self.config, self.batch_size,
