@@ -328,3 +328,38 @@ def test_ema_weight_averaging(dataset, tmp_path):
                 **common, "train_dir": plain_dir,
             })
         )
+
+
+def test_eval_poll_mode_sweeps_all_checkpoints(dataset, tmp_path, caplog):
+    """--run_once=False polls the train dir and evaluates each checkpoint
+    exactly once (reference eval.py loop; bounded here via
+    max_evaluations)."""
+    import logging
+
+    from yt8m_tpu.eval.loop import evaluation_loop
+
+    train_dir = str(tmp_path / "poll")
+    Trainer(
+        _train_cfg(dataset, train_dir, max_steps=40,
+                   save_checkpoint_every_n_steps=20)
+    ).run()
+    from yt8m_tpu.train.checkpoint import CheckpointManager
+
+    ckpt = CheckpointManager(train_dir)
+    all_steps = sorted(ckpt.all_steps())
+    ckpt.close()
+    assert len(all_steps) >= 2 and all_steps[-1] == 40
+    caplog.set_level(logging.INFO, logger="yt8m_tpu.eval")
+    out = evaluation_loop(
+        EvalConfig(
+            eval_data_pattern=os.path.join(dataset, "validate-*.tfrecord"),
+            feature_names="mean_rgb,mean_audio", feature_sizes="32,8",
+            num_classes=C, batch_size=16, model="MoeModel",
+            train_dir=train_dir, run_once=False,
+            hparams=ModelHParams(**HP_KW),
+        ),
+        max_evaluations=len(all_steps),
+    )
+    assert out["step"] == 40  # ascending sweep ends at the latest
+    evaluated = [r for r in caplog.records if "epoch/eval" in r.message]
+    assert len(evaluated) == len(all_steps)

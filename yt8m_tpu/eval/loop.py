@@ -154,20 +154,37 @@ def evaluate_checkpoint(
     return out
 
 
-def evaluation_loop(config: EvalConfig) -> Dict:
-    """--run_once or poll-forever over new checkpoints (reference eval.py)."""
+def evaluation_loop(
+    config: EvalConfig, max_evaluations: Optional[int] = None
+) -> Dict:
+    """--run_once or poll-forever over new checkpoints (reference eval.py).
+
+    max_evaluations bounds the poll-forever mode (None = forever, the
+    reference behaviour; tests bound it). Returns the last metric dict.
+    """
     if config.run_once or config.checkpoint_step is not None:
         return evaluate_checkpoint(config, step=config.checkpoint_step)
-    # --run_once=False: poll the train dir forever, evaluating each new
+    # --run_once=False: poll the train dir, evaluating each new
     # checkpoint exactly once (reference eval.py loop behaviour).
     seen = set()
+    last: Dict = {}
     while True:
         ckpt = CheckpointManager(config.train_dir)
-        steps = [s for s in ckpt.all_steps() if s not in seen]
+        steps = sorted(s for s in ckpt.all_steps() if s not in seen)
         ckpt.close()
         if not steps:
+            if (
+                max_evaluations is not None
+                and len(seen) >= max_evaluations
+            ):
+                return last
             time.sleep(10)
             continue
         for s in steps:
-            evaluate_checkpoint(config, step=s)
+            last = evaluate_checkpoint(config, step=s)
             seen.add(s)
+            if (
+                max_evaluations is not None
+                and len(seen) >= max_evaluations
+            ):
+                return last
