@@ -164,20 +164,27 @@ inline uint32_t crc32c(const uint8_t* p, size_t n) {
   return c32 ^ 0xFFFFFFFFu;
 }
 #else
-inline uint32_t crc32c(const uint8_t* p, size_t n) {
-  static uint32_t table[256];
-  static bool init = false;
-  if (!init) {
+struct Crc32cTable {
+  uint32_t t[256];
+  Crc32cTable() {
     for (uint32_t i = 0; i < 256; ++i) {
       uint32_t c = i;
       for (int k = 0; k < 8; ++k)
         c = (c & 1) ? (0x82F63B78u ^ (c >> 1)) : (c >> 1);
-      table[i] = c;
+      t[i] = c;
     }
-    init = true;
   }
+};
+
+inline uint32_t crc32c(const uint8_t* p, size_t n) {
+  // C++11 magic static: guaranteed thread-safe one-time init (the old
+  // plain-bool lazy init could publish init==true before the table
+  // stores on weakly-ordered targets; ThreadedBatchIterator calls this
+  // concurrently).
+  static const Crc32cTable table;
   uint32_t c = 0xFFFFFFFFu;
-  for (size_t i = 0; i < n; ++i) c = table[(c ^ p[i]) & 0xFF] ^ (c >> 8);
+  for (size_t i = 0; i < n; ++i)
+    c = table.t[(c ^ p[i]) & 0xFF] ^ (c >> 8);
   return c ^ 0xFFFFFFFFu;
 }
 #endif
@@ -401,6 +408,12 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
 
   int n = 0;
   int label_cursor = 0;
+  // Per-video label cap (labels_cap is the caller's batch*cap budget).
+  // Enforcing it per video keeps every video's slot budget intact — a
+  // pathological record can no longer starve later videos' labels —
+  // and makes the documented "labels/video capped at labels_cap/batch"
+  // contract literal (device_metric_topk exactness relies on it).
+  const int per_video_cap = batch > 0 ? labels_cap / batch : labels_cap;
   label_off[0] = 0;
   Slice rec;
   while (n < batch && r->next_record(&rec)) {
@@ -461,10 +474,14 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
     num_frames[n] = nf < 0 ? 0
                     : (nf > r->max_frames ? r->max_frames : nf);
 
-    // labels
-    for (int64_t c : ctx.labels) {
-      if (label_cursor < labels_cap)
-        labels[label_cursor++] = static_cast<int32_t>(c);
+    // labels (per-video cap; see per_video_cap above)
+    {
+      const int start = label_cursor;
+      for (int64_t c : ctx.labels) {
+        if (label_cursor - start >= per_video_cap) break;
+        if (label_cursor < labels_cap)
+          labels[label_cursor++] = static_cast<int32_t>(c);
+      }
     }
     label_off[n + 1] = label_cursor;
 
@@ -502,6 +519,8 @@ int yt8m_reader_next_video_batch(Reader* r, int batch, float* features,
 
   int n = 0;
   int label_cursor = 0;
+  // Per-video label cap — same contract as the frame-level batch.
+  const int per_video_cap = batch > 0 ? labels_cap / batch : labels_cap;
   label_off[0] = 0;
   Slice rec;
   std::vector<std::vector<float>> floats(r->feature_names.size());
@@ -526,9 +545,13 @@ int yt8m_reader_next_video_batch(Reader* r, int batch, float* features,
       col += want;
     }
 
-    for (int64_t c : ctx.labels) {
-      if (label_cursor < labels_cap)
-        labels[label_cursor++] = static_cast<int32_t>(c);
+    {
+      const int start = label_cursor;
+      for (int64_t c : ctx.labels) {
+        if (label_cursor - start >= per_video_cap) break;
+        if (label_cursor < labels_cap)
+          labels[label_cursor++] = static_cast<int32_t>(c);
+      }
     }
     label_off[n + 1] = label_cursor;
 

@@ -135,6 +135,60 @@ def test_trainer_periodic_export(tmp_path):
     assert np.asarray(v).shape == (8, min(20, C))  # top-k clamped to vocab
 
 
+def test_ema_export_roundtrip(tmp_path):
+    """--use_ema_weights exports the Polyak average (r2 VERDICT item #4):
+    meta.json records ema=true + full hparams, and the EMA artifact
+    serves different outputs than the raw-weights artifact from an
+    identically-seeded run."""
+    from yt8m_tpu.config import TrainConfig
+    from yt8m_tpu.data.synthetic import write_dataset
+    from yt8m_tpu.infer.export import load_serving
+    from yt8m_tpu.train.loop import Trainer
+
+    data = str(tmp_path / "data")
+    write_dataset(
+        data, "train", num_shards=1, videos_per_shard=16,
+        frame_level=False, num_classes=C, seed=5, rgb_dim=D - 4,
+        audio_dim=4,
+    )
+
+    def run(train_dir, use_ema):
+        Trainer(
+            TrainConfig(
+                train_data_pattern=os.path.join(data, "train-*.tfrecord"),
+                feature_names="mean_rgb,mean_audio",
+                feature_sizes=f"{D-4},4",
+                num_classes=C,
+                batch_size=8,
+                num_epochs=20,
+                max_steps=10,
+                model="MoeModel",
+                train_dir=train_dir,
+                save_checkpoint_every_n_steps=10,
+                export_model_steps=10,
+                log_every_n_steps=100,
+                ema_decay=0.9,
+                use_ema_weights=use_ema,
+                hparams=HP,
+            )
+        ).run()
+        return load_serving(os.path.join(train_dir, "export", "step_10"))
+
+    serve_ema, meta_ema = run(str(tmp_path / "run_ema"), True)
+    serve_raw, meta_raw = run(str(tmp_path / "run_raw"), False)
+    assert meta_ema["ema"] is True and meta_raw["ema"] is False
+    assert meta_ema["hparams"]["vocab_size"] == C  # self-describing artifact
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(8, D)).astype(np.float32)
+    nf = np.ones((8,), np.int32)
+    v_ema, _ = serve_ema(feats, nf)
+    v_raw, _ = serve_raw(feats, nf)
+    # Identical seeds -> identical raw params; after 10 steps of decay-0.9
+    # averaging the EMA tree must serve measurably different outputs.
+    assert not np.allclose(np.asarray(v_ema), np.asarray(v_raw), atol=1e-6)
+
+
 def test_summary_writer(tmp_path):
     from yt8m_tpu.utils.summary import SummaryWriter
 

@@ -64,6 +64,10 @@ class TrainConfig:
     # (state.ema_params; serve it with --use_ema_weights) — the
     # train-time equivalent of checkpoint weight-averaging.
     ema_decay: float = 0.0
+    # Export the Polyak/EMA average in periodic serving exports
+    # (requires --ema_decay > 0). Without it, an --ema_decay run's
+    # exports carry the RAW weights and the trainer warns once.
+    use_ema_weights: bool = False
     max_steps: Optional[int] = None
 
     # run management
@@ -128,8 +132,14 @@ class EvalConfig:
     checkpoint_step: Optional[int] = None
     # On-device metric sparsification: ship per-video top-K triplets to
     # the host instead of dense [B, num_classes] predictions (~25x less
-    # device->host traffic + host work at C=4716). K=64 keeps PERR exact
-    # (the pipeline caps labels/video at 64); 0 = dense host path.
+    # device->host traffic + host work at C=4716). Identical to the
+    # dense path when (a) every video has <= K positive labels — the
+    # native parser enforces a genuine per-video 64-label cap
+    # (cpp/yt8m_io.cc per_video_cap), and real YT-8M tops out far below
+    # it — and (b) no score ties straddle the K boundary (measure-zero
+    # for float model outputs; equivalence is tested on-chip).
+    # accumulate_topk warns at runtime if (a) is ever violated.
+    # 0 = exact dense reference path.
     device_metric_topk: int = 64
     seed: int = 0
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)

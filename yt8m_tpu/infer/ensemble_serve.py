@@ -78,25 +78,52 @@ class EnsembleServe:
         return {"predictions": probs}
 
 
+def _member_run_config(train_dir: str):
+    """Read a member run's model_flags.json (written by the trainer,
+    reference train.py behavior). Returns (model_name | None,
+    hparams_overrides dict) — empty when the file is absent (pre-r3
+    runs), letting the caller fall back to the shared run config."""
+    import json
+    import os
+
+    path = os.path.join(train_dir, "model_flags.json")
+    if not os.path.exists(path):
+        return None, {}
+    with open(path) as f:
+        data = json.load(f)
+    return data.get("model"), data.get("hparams", {})
+
+
 def build_ensemble(cfg) -> EnsembleServe:
     """EnsembleServe meta-model from --ensemble_train_dirs flags.
 
-    Members share the run's feature config / hparams; per-member model
-    classes come from --ensemble_models (default: --model for all),
-    weights from --ensemble_weights (default: uniform — fit them on
-    validate GAP with cli/ensemble.py if needed).
+    HETEROGENEOUS members are supported (the fork's ensembles mixed
+    model families by construction, SURVEY.md §3.5): each member is
+    rebuilt from its own train_dir's model_flags.json — its own model
+    class and hparams (e.g. a DBoF at cluster 8192 next to a NetVLAD at
+    cluster 256). Explicit --ensemble_models entries override the
+    recorded class; dirs without model_flags.json fall back to the
+    shared run config. Weights come from --ensemble_weights (default
+    uniform — fit them on validate GAP with cli/ensemble.py).
+
+    Members must share the INPUT/OUTPUT contract — feature layout
+    (feature_dim, max_frames) and vocab_size — since they consume one
+    batch and average into one prediction tensor; that is validated
+    here.
     """
+    import dataclasses
+
     from yt8m_tpu.models import get_model
 
     dirs = [d for d in cfg.ensemble_train_dirs.split(",") if d]
-    names = (
+    explicit_names = (
         [m for m in cfg.ensemble_models.split(",") if m]
         if cfg.ensemble_models
-        else [cfg.model] * len(dirs)
+        else None
     )
-    if len(names) != len(dirs):
+    if explicit_names and len(explicit_names) != len(dirs):
         raise SystemExit(
-            f"--ensemble_models has {len(names)} entries for "
+            f"--ensemble_models has {len(explicit_names)} entries for "
             f"{len(dirs)} --ensemble_train_dirs"
         )
     weights: List[float] = (
@@ -109,10 +136,30 @@ def build_ensemble(cfg) -> EnsembleServe:
             f"--ensemble_weights has {len(weights)} entries for "
             f"{len(dirs)} --ensemble_train_dirs"
         )
-    hp = cfg.resolved_hparams()
-    return EnsembleServe(
-        [get_model(n, hp) for n in names], weights, train_dirs=dirs
-    )
+
+    run_hp = cfg.resolved_hparams()
+    hp_fields = {f.name for f in dataclasses.fields(run_hp)}
+    models = []
+    for i, d in enumerate(dirs):
+        recorded_name, overrides = _member_run_config(d)
+        name = (
+            explicit_names[i]
+            if explicit_names
+            else (recorded_name or cfg.model)
+        )
+        hp = run_hp.replace(
+            **{k: v for k, v in overrides.items() if k in hp_fields}
+        )
+        for field in ("feature_dim", "max_frames", "vocab_size"):
+            if getattr(hp, field) != getattr(run_hp, field):
+                raise SystemExit(
+                    f"ensemble member {d}: {field}="
+                    f"{getattr(hp, field)} does not match the run's "
+                    f"{getattr(run_hp, field)} — members must share the "
+                    "input/output contract"
+                )
+        models.append(get_model(name, hp))
+    return EnsembleServe(models, weights, train_dirs=dirs)
 
 
 def _restore_member(cfg, model, train_dir, sample_batch, step):

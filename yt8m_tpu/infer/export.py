@@ -47,13 +47,22 @@ def export_model(
     batch_stats=None,
     batch_size: int = 0,
     top_k: int = 20,
+    ema: bool = False,
 ) -> str:
     """Write {stablehlo.bin, params/, meta.json} under export_dir.
 
     batch_size 0 exports a POLYMORPHIC batch dimension
     (jax.export.symbolic_shape) so one artifact serves any batch size;
     a positive batch_size locks the export to that size.
+
+    `ema=True` records that `params` is the Polyak/EMA average (the
+    caller selects which tree to pass); meta.json carries the flag so
+    serving artifacts are self-describing. meta.json also embeds the
+    full ModelHParams so heterogeneous ensembles can rebuild each
+    member from its own artifact (SURVEY.md §3.5).
     """
+    import dataclasses as _dc
+
     from jax import export as jax_export
 
     os.makedirs(export_dir, exist_ok=True)
@@ -96,6 +105,9 @@ def export_model(
                 "max_frames": hparams.max_frames,
                 "feature_dim": hparams.feature_dim,
                 "vocab_size": hparams.vocab_size,
+                # True when params/ holds the Polyak/EMA average
+                "ema": bool(ema),
+                "hparams": _dc.asdict(hparams),
             },
             f,
         )

@@ -10,8 +10,12 @@ traffic is one read of x + [B, k] outputs.
 Tie-breaking matches jax.lax.top_k: equal values resolve to the lowest
 class index. Values are emitted in descending order.
 
-Used by train.step's serving helpers when the predictions tensor is
-TPU-resident (kernels/__init__.py gating); k <= 128.
+Status: measured EXPERIMENT, not on the serving path. On-chip it ties
+approx_max_k(recall=1.0) (1.75 ms vs 1.7-2.2 ms at k=20 on
+[2048, 4716] — XLA's lowering is already near the v5e bound), so
+make_topk_predict_step keeps approx_max_k; this kernel stays as the
+tested record of that experiment (tests/test_topk_kernel.py,
+BENCH_NOTES "Exact top-k kernel experiment"). k <= 128.
 """
 
 from __future__ import annotations

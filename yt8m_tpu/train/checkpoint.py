@@ -61,8 +61,22 @@ class CheckpointManager:
     def all_steps(self):
         return sorted(self._mgr.all_steps())
 
-    def restore(self, state, step: Optional[int] = None):
-        """Restore into the structure of `state` (abstract or concrete)."""
+    def restore(
+        self,
+        state,
+        step: Optional[int] = None,
+        *,
+        for_write: bool = False,
+    ):
+        """Restore into the structure of `state` (abstract or concrete).
+
+        `for_write=True` marks a restore that resumes TRAINING in this
+        manager's directory (the trainer), where dropping checkpoint-only
+        EMA params is destructive once rotation deletes old steps — that
+        case warns loudly. Read-only restores (eval/inference without
+        --use_ema_weights) never rewrite the checkpoint, so they log at
+        info instead.
+        """
         if step is None:
             step = self.latest_step()
         if step is None:
@@ -96,17 +110,27 @@ class CheckpointManager:
             except Exception:
                 raise e
             if state.ema_params is None:
-                # The checkpoint carries a Polyak average the caller did
-                # not ask for. Dropping it is destructive once rotation
-                # deletes the old checkpoints — say so.
-                logging.getLogger("yt8m_tpu.checkpoint").warning(
-                    "checkpoint step %s carries EMA params but the run "
-                    "was configured without them (--ema_decay=0 / no "
-                    "--use_ema_weights); the Polyak average is DROPPED "
-                    "from the restored state and will be lost from new "
-                    "checkpoints",
-                    step,
-                )
+                log = logging.getLogger("yt8m_tpu.checkpoint")
+                if for_write:
+                    # Training resume: rotation will delete the old
+                    # checkpoints, so the Polyak average is genuinely
+                    # about to be lost — warn.
+                    log.warning(
+                        "checkpoint step %s carries EMA params but the "
+                        "resumed run was configured without them "
+                        "(--ema_decay=0); the Polyak average is DROPPED "
+                        "and will be lost from new checkpoints",
+                        step,
+                    )
+                else:
+                    # Read-only restore (eval/inference): nothing is
+                    # rewritten; just note the raw weights were used.
+                    log.info(
+                        "checkpoint step %s carries EMA params; using "
+                        "raw weights (pass --use_ema_weights to serve "
+                        "the Polyak average)",
+                        step,
+                    )
             return restored.replace(ema_params=None)
 
     def close(self):

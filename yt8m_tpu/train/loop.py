@@ -128,6 +128,34 @@ class Trainer:
             save_interval_steps=cfg.save_checkpoint_every_n_steps,
         )
         self.summary = SummaryWriter(cfg.train_dir)
+        if jax.process_index() == 0:
+            self._write_model_flags()
+
+    def _write_model_flags(self) -> None:
+        """Persist the model/reader config into train_dir as
+        model_flags.json (reference train.py wrote the same file so
+        eval/inference/ensembling could rebuild each run's graph from
+        its own directory). Read back by ensemble_serve.build_ensemble
+        for per-member (heterogeneous) hparams, and available to any
+        tooling that wants a run to be self-describing."""
+        import dataclasses
+        import json
+        import os
+
+        cfg = self.config
+        path = os.path.join(cfg.train_dir, "model_flags.json")
+        payload = {
+            "model": cfg.model,
+            "frame_features": cfg.frame_features,
+            "feature_names": cfg.feature_names,
+            "feature_sizes": cfg.feature_sizes,
+            "num_classes": cfg.num_classes,
+            "max_frames": cfg.max_frames,
+            "label_loss": cfg.label_loss,
+            "hparams": dataclasses.asdict(self.hparams),
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
 
     # -- state ------------------------------------------------------------
 
@@ -144,7 +172,7 @@ class Trainer:
         latest = self.ckpt.latest_step()
         if latest is not None:
             log.info("restoring checkpoint at step %d", latest)
-            state = self.ckpt.restore(state, latest)
+            state = self.ckpt.restore(state, latest, for_write=True)
             if cfg.ema_decay > 0 and state.ema_params is None:
                 # resuming a pre-EMA checkpoint with EMA newly enabled:
                 # seed the average from the restored params.
@@ -183,15 +211,34 @@ class Trainer:
         export_dir = os.path.join(
             self.config.train_dir, "export", f"step_{step}"
         )
+        # EMA-aware export (SURVEY.md §5.4 polyak row): serve the Polyak
+        # average when the run asked for it; otherwise an --ema_decay run
+        # gets raw weights — warn once so that is never silent.
+        params = state.params
+        ema = False
+        if self.config.ema_decay > 0:
+            if self.config.use_ema_weights and state.ema_params is not None:
+                params = state.ema_params
+                ema = True
+            elif not getattr(self, "_warned_raw_export", False):
+                log.warning(
+                    "--ema_decay=%g run exports RAW weights (pass "
+                    "--use_ema_weights to export the Polyak average)",
+                    self.config.ema_decay,
+                )
+                self._warned_raw_export = True
         try:
             export_model(
                 export_dir,
                 self.config.model,
                 self.hparams,
-                jax.device_get(state.params),
+                jax.device_get(params),
                 batch_stats=jax.device_get(state.batch_stats),
+                ema=ema,
             )
-            log.info("exported serving model to %s", export_dir)
+            log.info(
+                "exported serving model to %s (ema=%s)", export_dir, ema
+            )
         except Exception:  # export must never kill training
             log.exception("serving export failed at step %d", step)
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, Type
 
+import jax
 import jax.numpy as jnp
 
 _EPSILON = 10e-6  # reference losses.py epsilon
@@ -56,19 +57,30 @@ class HingeLoss(BaseLoss):
 
 
 class SoftmaxLoss(BaseLoss):
-    """Reference: losses.py :: SoftmaxLoss — labels normalised to a
-    distribution, loss = -sum(label_dist * log softmax_norm(p))."""
+    """Reference: losses.py :: SoftmaxLoss — labels L1-normalised to a
+    distribution (rowsum floored at ε=10e-8), loss =
+    -sum(label_dist * log(softmax(predictions))).
+
+    This is a TRUE exponential softmax over the prediction scores
+    (`tf.nn.softmax`), applied even though the models emit sigmoid
+    probabilities — matching the reference exactly. log∘softmax is
+    computed as log_softmax for numerical stability; identical in exact
+    arithmetic (softmax output is strictly positive, so the reference's
+    un-clipped log never sees zero).
+    """
+
+    _EPS = 10e-8  # reference SoftmaxLoss epsilon (NOT the CE 10e-6)
 
     def calculate_loss(self, predictions, labels, **kw):
         y = labels.astype(jnp.float32)
-        label_rowsum = jnp.maximum(jnp.sum(y, axis=-1, keepdims=True), _EPSILON)
-        norm_labels = y / label_rowsum
-        p = predictions.astype(jnp.float32)
-        softmax_out = p / jnp.maximum(
-            jnp.sum(p, axis=-1, keepdims=True), _EPSILON
+        label_rowsum = jnp.maximum(
+            jnp.sum(y, axis=-1, keepdims=True), self._EPS
         )
-        softmax_out = jnp.clip(softmax_out, _EPSILON, 1.0 - _EPSILON)
-        return -jnp.sum(norm_labels * jnp.log(softmax_out), axis=-1)
+        norm_labels = y / label_rowsum
+        log_sm = jax.nn.log_softmax(
+            predictions.astype(jnp.float32), axis=-1
+        )
+        return -jnp.sum(norm_labels * log_sm, axis=-1)
 
 
 class MixedCrossEntropyDistillLoss(BaseLoss):
