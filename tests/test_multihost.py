@@ -102,6 +102,212 @@ def _free_port():
     return port
 
 
+# ---------------------------------------------------------------------------
+# Full multi-host LIFECYCLE (r2 VERDICT #5): frame-level uint8 batch
+# layout, orbax checkpoint saved in one 2-process run, restored in a
+# SECOND 2-process run that continues training, plus one eval pass whose
+# predictions are allgathered across processes — all asserted equal to
+# an unbroken single-process oracle.
+# ---------------------------------------------------------------------------
+
+LIFECYCLE_WORKER = r"""
+import os, sys
+pid = int(sys.argv[1]); port = sys.argv[2]
+phase = sys.argv[3]  # "a" (steps 0-2 + save) | "b" (restore, steps 3-4 + eval)
+ckpt_dir = sys.argv[4]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+os.environ["JAX_COORDINATOR_ADDRESS"] = "localhost:" + port
+os.environ["JAX_NUM_PROCESSES"] = "2"
+os.environ["JAX_PROCESS_ID"] = str(pid)
+sys.path.insert(0, %(repo)r)
+
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from yt8m_tpu.parallel.distributed import maybe_initialize
+assert maybe_initialize(), "env contract not picked up"
+assert jax.process_count() == 2 and jax.device_count() == 4
+
+from yt8m_tpu.models import ModelHParams, get_model
+from yt8m_tpu.parallel import mesh as mesh_lib
+from yt8m_tpu.train.checkpoint import CheckpointManager
+from yt8m_tpu.train.losses import get_loss
+from yt8m_tpu.train.state import init_train_state, make_optimizer
+from yt8m_tpu.train.step import make_train_step
+
+GB, F, D, C = 16, 8, 16, 8
+hb = GB // 2
+rng = np.random.default_rng(0)
+# frame-level batch layout: uint8-on-wire features, exactly what the
+# TFRecord reader hands the trainer.
+gbatch = {
+    "features": rng.integers(0, 256, size=(GB, F, D), dtype=np.uint8),
+    "labels": (rng.random((GB, C)) < 0.3).astype(np.float32),
+    "num_frames": rng.integers(2, F + 1, size=(GB,)).astype(np.int32),
+    "batch_mask": np.ones((GB,), np.float32),
+}
+local = {k: v[pid * hb:(pid + 1) * hb] for k, v in gbatch.items()}
+
+hp = ModelHParams(vocab_size=C, feature_dim=D, max_frames=F,
+                  compute_dtype="float32")
+model = get_model("FrameLevelLogisticModel", hp)
+tx = make_optimizer(global_batch_size=GB)
+state = init_train_state(model, jax.random.PRNGKey(0), local, tx, True)
+mesh = mesh_lib.make_mesh()
+repl = jax.tree_util.tree_map(lambda _: mesh_lib.replicated(mesh), state)
+state = jax.device_put(state, repl)
+step_fn = make_train_step(model, get_loss("CrossEntropyLoss"))
+ckpt = CheckpointManager(ckpt_dir, save_interval_steps=1)
+base = jax.random.PRNGKey(7)
+
+def run_steps(state, steps):
+    losses = []
+    for gstep in steps:
+        db = mesh_lib.shard_batch(local, mesh)
+        state, metrics = step_fn(state, db, jax.random.fold_in(base, gstep))
+        losses.append(float(jax.device_get(metrics["loss"])))
+    return state, losses
+
+if phase == "a":
+    state, losses = run_steps(state, [0, 1, 2])
+    assert ckpt.save(3, state), "orbax save did not run"
+    print("LOSSES", pid, " ".join("%%.8f" %% l for l in losses), flush=True)
+else:
+    latest = ckpt.latest_step()
+    assert latest == 3, latest
+    state = ckpt.restore(state, latest)
+    state = jax.device_put(state, repl)
+    state, losses = run_steps(state, [3, 4])
+    print("LOSSES", pid, " ".join("%%.8f" %% l for l in losses), flush=True)
+
+    # one eval pass: sharded forward, predictions replicated across the
+    # global mesh so every process scores the FULL split identically.
+    from yt8m_tpu.metrics.eval_metrics import EvaluationMetrics
+
+    @jax.jit
+    def predict(params, feats, nf):
+        out = model.apply({"params": params}, feats, nf, train=False)
+        return out["predictions"]
+
+    db = mesh_lib.shard_batch(local, mesh)
+    preds = predict(state.params, db["features"], db["num_frames"])
+    preds = jax.jit(lambda p: p, out_shardings=mesh_lib.replicated(mesh))(
+        preds
+    )
+    preds = np.asarray(jax.device_get(preds))
+    em = EvaluationMetrics(C, top_k=5)
+    em.accumulate(preds.astype(np.float64), gbatch["labels"], loss=0.0)
+    got = em.get()
+    print("EVAL", pid, "%%.8f %%.8f" %% (got["gap"], got["avg_hit_at_one"]),
+          flush=True)
+"""
+
+
+def _run_two_process(script_path, phase, port, ckpt_dir, timeout=300):
+    env = {
+        k: v for k, v in os.environ.items()
+        if not k.startswith(("JAX_", "XLA_"))
+    }
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script_path), str(pid), port, phase,
+             ckpt_dir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
+            text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=timeout)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+        assert p.returncode == 0, out[-3000:]
+    return outs
+
+
+def test_two_process_lifecycle_ckpt_resume_eval(tmp_path):
+    """train(2 procs) -> orbax save -> restore(2 NEW procs) -> continue
+    -> eval, with an unbroken single-process oracle for the whole
+    5-step trajectory and the final metrics."""
+    script = tmp_path / "lifecycle_worker.py"
+    script.write_text(LIFECYCLE_WORKER % {"repo": REPO})
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    def collect(outs, tag):
+        vals = {}
+        for out in outs:
+            for line in out.splitlines():
+                if line.startswith(tag):
+                    parts = line.split()
+                    vals[int(parts[1])] = [float(x) for x in parts[2:]]
+        assert set(vals) == {0, 1}, (tag, outs)
+        np.testing.assert_allclose(vals[0], vals[1], rtol=1e-6)
+        return vals[0]
+
+    outs_a = _run_two_process(script, "a", str(_free_port()), ckpt_dir)
+    losses_a = collect(outs_a, "LOSSES")
+    assert os.path.isdir(ckpt_dir)
+
+    outs_b = _run_two_process(script, "b", str(_free_port()), ckpt_dir)
+    losses_b = collect(outs_b, "LOSSES")
+    eval_b = collect(outs_b, "EVAL")
+
+    # ---- unbroken single-process oracle over the same global batch ----
+    import jax
+
+    from yt8m_tpu.metrics.eval_metrics import EvaluationMetrics
+    from yt8m_tpu.models import ModelHParams, get_model
+    from yt8m_tpu.train.losses import get_loss
+    from yt8m_tpu.train.state import init_train_state, make_optimizer
+    from yt8m_tpu.train.step import make_train_step
+
+    GB, F, D, C = 16, 8, 16, 8
+    rng = np.random.default_rng(0)
+    gbatch = {
+        "features": rng.integers(0, 256, size=(GB, F, D), dtype=np.uint8),
+        "labels": (rng.random((GB, C)) < 0.3).astype(np.float32),
+        "num_frames": rng.integers(2, F + 1, size=(GB,)).astype(np.int32),
+        "batch_mask": np.ones((GB,), np.float32),
+    }
+    hp = ModelHParams(
+        vocab_size=C, feature_dim=D, max_frames=F, compute_dtype="float32"
+    )
+    model = get_model("FrameLevelLogisticModel", hp)
+    tx = make_optimizer(global_batch_size=GB)
+    state = init_train_state(model, jax.random.PRNGKey(0), gbatch, tx, True)
+    step_fn = make_train_step(model, get_loss("CrossEntropyLoss"))
+    base = jax.random.PRNGKey(7)
+    oracle = []
+    for gstep in range(5):
+        state, metrics = step_fn(
+            state, gbatch, jax.random.fold_in(base, gstep)
+        )
+        oracle.append(float(jax.device_get(metrics["loss"])))
+    # the checkpoint round-trip must be invisible to the trajectory
+    np.testing.assert_allclose(losses_a + losses_b, oracle, rtol=1e-5)
+
+    out = model.apply(
+        {"params": jax.device_get(state.params)},
+        gbatch["features"], gbatch["num_frames"], train=False,
+    )
+    em = EvaluationMetrics(C, top_k=5)
+    em.accumulate(
+        np.asarray(out["predictions"], np.float64), gbatch["labels"],
+        loss=0.0,
+    )
+    got = em.get()
+    np.testing.assert_allclose(
+        eval_b, [got["gap"], got["avg_hit_at_one"]], rtol=1e-6
+    )
+
+
 def test_two_process_data_parallel_training(tmp_path):
     from yt8m_tpu.data.synthetic import write_dataset
 
