@@ -3,6 +3,11 @@
 # on v5e-8). VLAD appearance branch + LSTM temporal branch -> gated MoE.
 set -e
 DATA=${DATA:-data}
+# Perf (r3 profile, BENCH_NOTES "flagship TRAIN profile"): bf16 Adam
+# first moment cuts the 411M-param optimizer HBM pass (79.5 vs 85.1 ms
+# at B=256). For max single-chip throughput use --batch_size=512
+# (3,651 vs 3,220 videos/s/chip — Adam traffic amortised over 2x
+# videos); scale --base_learning_rate accordingly.
 python train.py \
   --train_data_pattern="$DATA/train*.tfrecord" \
   --feature_names=rgb,audio --feature_sizes=1024,128 \
@@ -13,4 +18,5 @@ python train.py \
   --moe_num_mixtures=4 \
   --batch_size=256 --base_learning_rate=0.0002 \
   --learning_rate_decay_examples=2000000 \
+  --adam_mu_dtype=bfloat16 \
   --train_dir="${TRAIN_DIR:-runs/netvlad_lstm}" "$@"

@@ -126,6 +126,11 @@ class EvalConfig:
     ensemble_weights: str = ""
     train_dir: str = "/tmp/yt8m_model/"
     run_once: bool = True
+    # Bound for the --run_once=False poll loop: stop after this many
+    # checkpoint evaluations; -1 = evaluate every EXISTING checkpoint
+    # once (ascending sweep) then exit; None/0 = poll forever (the
+    # reference eval.py behaviour).
+    max_evaluations: Optional[int] = None
     num_readers: int = 1
     reader_processes: bool = False
     top_k: int = 20

@@ -32,7 +32,42 @@ def crc32c(data: bytes, crc: int = 0) -> int:
     return crc ^ 0xFFFFFFFF
 
 
+# Native fast path: the C++ reader library exports its SSE4.2/table
+# crc32c (cpp/yt8m_io.cc :: yt8m_masked_crc32c). The pure-Python table
+# loop above stays as the dependency-free fallback (and the oracle the
+# native path is tested against).
+_NATIVE = None
+
+
+def _native_masked_crc():
+    global _NATIVE
+    if _NATIVE is None:
+        _NATIVE = False
+        try:
+            import ctypes
+            import os
+
+            lib_path = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)
+                ))),
+                "build", "libyt8m_io.so",
+            )
+            if os.path.exists(lib_path):
+                lib = ctypes.CDLL(lib_path)
+                fn = lib.yt8m_masked_crc32c
+                fn.restype = ctypes.c_uint32
+                fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+                _NATIVE = fn
+        except Exception:
+            _NATIVE = False
+    return _NATIVE
+
+
 def masked_crc32c(data: bytes) -> int:
+    fn = _native_masked_crc()
+    if fn:
+        return int(fn(data, len(data)))
     crc = crc32c(data)
     return (((crc >> 15) | (crc << 17)) + _MASK_DELTA) & 0xFFFFFFFF
 

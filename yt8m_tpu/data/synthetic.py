@@ -116,12 +116,22 @@ def write_frame_level_shard(
         n_frames = int(rng.integers(min_frames, max_frames + 1))
         base_rgb = _planted_features(rng, labels, rgb_dim, num_classes)
         base_audio = _planted_features(rng, labels, audio_dim, num_classes)
-        rgb_frames, audio_frames = [], []
-        for _f in range(n_frames):
-            fr = base_rgb + rng.normal(0.0, 0.3, size=(rgb_dim,))
-            fa = base_audio + rng.normal(0.0, 0.3, size=(audio_dim,))
-            rgb_frames.append(("bytes", [quantize(fr).tobytes()]))
-            audio_frames.append(("bytes", [quantize(fa).tobytes()]))
+        # Vectorized over frames (the per-frame loop was ~29 videos/s at
+        # 300x1152; this is ~10x, making 50k-video soak fixtures
+        # practical). Same noise distribution/planted signal as before.
+        q_rgb = quantize(
+            base_rgb[None, :] + rng.normal(0.0, 0.3, size=(n_frames, rgb_dim))
+        )
+        q_audio = quantize(
+            base_audio[None, :]
+            + rng.normal(0.0, 0.3, size=(n_frames, audio_dim))
+        )
+        rgb_frames = [
+            ("bytes", [q_rgb[f].tobytes()]) for f in range(n_frames)
+        ]
+        audio_frames = [
+            ("bytes", [q_audio[f].tobytes()]) for f in range(n_frames)
+        ]
         records.append(
             encode_sequence_example(
                 context={

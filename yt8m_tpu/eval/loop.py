@@ -159,11 +159,19 @@ def evaluation_loop(
 ) -> Dict:
     """--run_once or poll-forever over new checkpoints (reference eval.py).
 
-    max_evaluations bounds the poll-forever mode (None = forever, the
-    reference behaviour; tests bound it). Returns the last metric dict.
+    max_evaluations bounds the poll-forever mode (None/0 = forever, the
+    reference behaviour; -1 = evaluate every existing checkpoint once,
+    ascending, then exit — `--max_evaluations=-1` from the CLI). The
+    explicit argument wins over config.max_evaluations (tests use it).
+    Returns the last metric dict.
     """
     if config.run_once or config.checkpoint_step is not None:
         return evaluate_checkpoint(config, step=config.checkpoint_step)
+    if max_evaluations is None:
+        max_evaluations = config.max_evaluations or None
+    sweep_only = max_evaluations == -1
+    if sweep_only:
+        max_evaluations = None
     # --run_once=False: poll the train dir, evaluating each new
     # checkpoint exactly once (reference eval.py loop behaviour).
     seen = set()
@@ -173,6 +181,8 @@ def evaluation_loop(
         steps = sorted(s for s in ckpt.all_steps() if s not in seen)
         ckpt.close()
         if not steps:
+            if sweep_only and seen:
+                return last
             if (
                 max_evaluations is not None
                 and len(seen) >= max_evaluations

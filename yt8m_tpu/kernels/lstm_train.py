@@ -164,6 +164,13 @@ def _run_fwd(x_proj, num_frames, wh, bias, reverse, tile_b, interpret):
             bytes_accessed=f * b_pad * g * 4 + h_dim * g * 2,
             transcendentals=4 * f * b_pad * h_dim,
         ),
+        # tb=128 (full MXU rows, half the sequential grid steps of tb=64)
+        # needs ~16.3 MB scoped VMEM — just past XLA's default 16 MB cap,
+        # well inside v5e's physical VMEM. Raise the kernel's cap so the
+        # tiling is chosen by measurement, not by the default limit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         num_frames.astype(jnp.int32).reshape(-1, 1),
@@ -309,6 +316,11 @@ def _run_bwd(
             pltpu.VMEM((g, h_dim), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
+        # Same raised cap as the forward: tb=128 sits just over the
+        # default 16 MB scoped-vmem limit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=20 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         num_frames.astype(jnp.int32).reshape(-1, 1),

@@ -154,10 +154,14 @@ class _LstmLayer(nn.Module):
             if self.reverse:
                 xp = jnp.flip(xp, axis=0)
             if train:
-                # tb=64: the residual-streaming forward carries extra
-                # VMEM output blocks (gates + cell states).
+                # tb=128: full MXU rows per sequential grid step. Needs
+                # the kernels' raised VMEM cap (the residual-streaming
+                # blocks put tb=128 just past the default 16 MB scoped
+                # limit); measured 1.06-1.07x over tb=64 at B=256,
+                # H=1024 with bitwise-identical outputs
+                # (scripts/exp_lstm_train_tileb.py, BENCH_NOTES r3).
                 outputs, (final_c, final_h) = lstm_recurrence_trainable(
-                    xp, num_frames, whh, bias, self.reverse, 64, interpret
+                    xp, num_frames, whh, bias, self.reverse, 128, interpret
                 )
             else:
                 outputs, (final_c, final_h) = lstm_recurrence(
