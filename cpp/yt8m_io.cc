@@ -212,6 +212,14 @@ struct Reader {
   // bytes; reference RecordReader semantics). Default 1.
   int validate_crc = 1;
 
+  // Labels that did not fit the caller's flat label budget (labels_cap).
+  // The parser never caps per video — ground truth is written verbatim,
+  // matching the reference reader — so this only grows when a batch's
+  // TOTAL label count exceeds labels_cap. Queryable via
+  // yt8m_reader_labels_dropped so the Python pipeline can warn instead
+  // of silently diverging.
+  long long labels_dropped = 0;
+
   // mmap-backed shard: records become zero-copy slices into the file
   // mapping (no per-record fread copy — the parser's single biggest
   // memory-bandwidth cost at ~345 KB/video).
@@ -363,6 +371,10 @@ void yt8m_reader_set_validate(Reader* r, int level) {
   r->validate_crc = level;
 }
 
+long long yt8m_reader_labels_dropped(Reader* r) {
+  return r->labels_dropped;
+}
+
 Reader* yt8m_reader_new(const char* const* feature_names,
                         const int* feature_sizes, int num_features,
                         int max_frames, int frame_level,
@@ -416,12 +428,11 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
 
   int n = 0;
   int label_cursor = 0;
-  // Per-video label cap (labels_cap is the caller's batch*cap budget).
-  // Enforcing it per video keeps every video's slot budget intact — a
-  // pathological record can no longer starve later videos' labels —
-  // and makes the documented "labels/video capped at labels_cap/batch"
-  // contract literal (device_metric_topk exactness relies on it).
-  const int per_video_cap = batch > 0 ? labels_cap / batch : labels_cap;
+  // NO per-video label cap: ground truth is written verbatim (reference
+  // reader semantics — a sparse-to-dense scatter of ALL labels). The
+  // only bound is the caller's flat labels_cap budget; overflow is
+  // counted in r->labels_dropped and surfaced as a Python warning
+  // rather than silently truncating training/eval targets.
   label_off[0] = 0;
   Slice rec;
   while (n < batch && r->next_record(&rec)) {
@@ -482,14 +493,12 @@ int yt8m_reader_next_frame_batch(Reader* r, int batch, uint8_t* features,
     num_frames[n] = nf < 0 ? 0
                     : (nf > r->max_frames ? r->max_frames : nf);
 
-    // labels (per-video cap; see per_video_cap above)
-    {
-      const int start = label_cursor;
-      for (int64_t c : ctx.labels) {
-        if (label_cursor - start >= per_video_cap) break;
-        if (label_cursor < labels_cap)
-          labels[label_cursor++] = static_cast<int32_t>(c);
-      }
+    // labels (verbatim; flat-budget overflow counted, see labels_dropped)
+    for (int64_t c : ctx.labels) {
+      if (label_cursor < labels_cap)
+        labels[label_cursor++] = static_cast<int32_t>(c);
+      else
+        ++r->labels_dropped;
     }
     label_off[n + 1] = label_cursor;
 
@@ -527,8 +536,7 @@ int yt8m_reader_next_video_batch(Reader* r, int batch, float* features,
 
   int n = 0;
   int label_cursor = 0;
-  // Per-video label cap — same contract as the frame-level batch.
-  const int per_video_cap = batch > 0 ? labels_cap / batch : labels_cap;
+  // No per-video cap — same contract as the frame-level batch.
   label_off[0] = 0;
   Slice rec;
   std::vector<std::vector<float>> floats(r->feature_names.size());
@@ -553,13 +561,11 @@ int yt8m_reader_next_video_batch(Reader* r, int batch, float* features,
       col += want;
     }
 
-    {
-      const int start = label_cursor;
-      for (int64_t c : ctx.labels) {
-        if (label_cursor - start >= per_video_cap) break;
-        if (label_cursor < labels_cap)
-          labels[label_cursor++] = static_cast<int32_t>(c);
-      }
+    for (int64_t c : ctx.labels) {
+      if (label_cursor < labels_cap)
+        labels[label_cursor++] = static_cast<int32_t>(c);
+      else
+        ++r->labels_dropped;
     }
     label_off[n + 1] = label_cursor;
 

@@ -74,9 +74,11 @@ def main():
     t_start = time.time()
 
     # ---- stage 0: >=50k frame-level videos on disk --------------------
-    n_train = args.videos
-    n_eval = max(args.videos // 10, 2000)
-    shards = max(n_train // 2000, 1)
+    n_eval = (max(args.videos // 10, 2000) // 4) * 4
+    shards = max(args.videos // 2000, 1)
+    # Report what is actually written, not what was requested —
+    # videos_per_shard floors, so n_train can fall short of --videos.
+    n_train = (args.videos // shards) * shards
     gen = (
         "import sys; sys.path.insert(0, %r); "
         "from yt8m_tpu.data.synthetic import write_dataset; "

@@ -168,3 +168,35 @@ def test_input_contract_mismatch_rejected(setup, tmp_path):
     )
     with pytest.raises(SystemExit, match="feature_dim"):
         build_ensemble(cfg)
+
+
+def test_runtime_flags_stay_under_cli_control(setup):
+    """A member's model_flags.json supplies STRUCTURAL hparams only —
+    serving-time/runtime knobs (compute_dtype, kernel/int8 toggles)
+    come from the serve-time CLI, not the recorded train-time config."""
+    from yt8m_tpu.infer.ensemble_serve import build_ensemble
+
+    _, _, dirs, _ = setup
+    cfg = InferenceConfig(
+        feature_names="rgb,audio",
+        feature_sizes="8,4",
+        frame_features=True,
+        num_classes=C,
+        max_frames=F,
+        ensemble_train_dirs=",".join(dirs),
+        # members trained with compute_dtype=float32 recorded in
+        # model_flags.json; the serve-time CLI asks for bfloat16.
+        hparams=ModelHParams(
+            vocab_size=C, feature_dim=D, max_frames=F,
+            compute_dtype="bfloat16", iterations=8,
+            dbof_int8_serving=True,
+        ),
+    )
+    ens = build_ensemble(cfg)
+    for m, (_, hp_kw) in zip(ens.models, MEMBERS):
+        # runtime knobs: CLI wins
+        assert m.hp.compute_dtype == "bfloat16"
+        assert m.hp.dbof_int8_serving is True
+        # structural knobs: recorded member config wins
+        for k, v in hp_kw.items():
+            assert getattr(m.hp, k) == v

@@ -203,3 +203,61 @@ def test_make_batch_iterator_threads_by_default(tmp_path):
         ),
         MultiprocessBatchIterator,
     )
+
+
+def _many_label_shard(path, label_counts, num_classes, dim=16):
+    """Shard whose i-th video has exactly label_counts[i] labels."""
+    from yt8m_tpu.data.proto import encode_example
+    from yt8m_tpu.data.tfrecord import write_tfrecords
+
+    rng = np.random.default_rng(0)
+    records = []
+    for i, k in enumerate(label_counts):
+        labels = rng.choice(num_classes, size=k, replace=False)
+        labels.sort()
+        records.append(
+            encode_example(
+                {
+                    "id": ("bytes", [f"many{i:03d}".encode()]),
+                    "labels": ("int64", labels.tolist()),
+                    "mean_rgb": ("float", rng.normal(size=dim).tolist()),
+                }
+            )
+        )
+    write_tfrecords(path, records)
+
+
+def test_labels_written_verbatim_beyond_64_per_video(tmp_path):
+    """No silent per-video label cap: a 100-label video's ground truth
+    survives the native parser intact (reference reader semantics); the
+    dense multi-hot matches the pure-Python oracle exactly."""
+    p = str(tmp_path / "many.tfrecord")
+    counts = [100, 80, 2, 70]
+    _many_label_shard(p, counts, num_classes=200)
+    cfg = ReaderConfig(
+        feature_names="mean_rgb", feature_sizes="16",
+        frame_features=False, num_classes=200,
+    )
+    nb = list(NativeBatchIterator([p], cfg, 4, prefetch=0))
+    pb = list(BatchIterator([p], cfg, 4))
+    _compare_batches(nb, pb, frame_level=False)
+    got = nb[0]["labels"].sum(axis=1).astype(int).tolist()
+    assert got == counts  # > 64 labels preserved
+
+
+def test_label_budget_overflow_drops_and_warns(tmp_path, caplog):
+    """Flat budget overflow (batch_size*64 slots) is counted and warned
+    about, never silent: batch=1 gives a 64-slot budget, so a 100-label
+    video loses 36 labels with a loud warning."""
+    import logging
+
+    p = str(tmp_path / "overflow.tfrecord")
+    _many_label_shard(p, [100], num_classes=200)
+    cfg = ReaderConfig(
+        feature_names="mean_rgb", feature_sizes="16",
+        frame_features=False, num_classes=200,
+    )
+    with caplog.at_level(logging.WARNING, logger="yt8m_tpu.data"):
+        nb = list(NativeBatchIterator([p], cfg, 1, prefetch=0))
+    assert int(nb[0]["labels"].sum()) == 64
+    assert any("DROPPED" in r.message for r in caplog.records)

@@ -398,3 +398,39 @@ def test_alternate_losses_train_e2e(dataset, tmp_path, loss_name):
     assert np.isfinite(out["avg_loss"])
     # Both losses train the planted signal well above the ~0.1 chance GAP.
     assert out["gap"] > 0.2, (loss_name, out)
+
+
+def test_sweep_mode_empty_train_dir_exits(dataset, tmp_path, caplog):
+    """--max_evaluations=-1 against a train_dir with NO checkpoints must
+    exit (with a warning), not poll forever — automation invoking the
+    sweep relies on termination."""
+    import logging
+
+    from yt8m_tpu.eval.loop import evaluation_loop
+
+    caplog.set_level(logging.WARNING, logger="yt8m_tpu.eval")
+    out = evaluation_loop(
+        EvalConfig(
+            eval_data_pattern=os.path.join(dataset, "validate-*.tfrecord"),
+            feature_names="mean_rgb,mean_audio", feature_sizes="32,8",
+            num_classes=C, batch_size=16, model="MoeModel",
+            train_dir=str(tmp_path / "does_not_exist"), run_once=False,
+            hparams=ModelHParams(**HP_KW),
+        ),
+        max_evaluations=-1,
+    )
+    assert out == {}
+    assert any("no checkpoints" in r.message for r in caplog.records)
+
+
+def test_use_ema_weights_without_decay_fails_fast(dataset, tmp_path):
+    """--use_ema_weights with the default --ema_decay=0 is a
+    misconfiguration (exports would silently carry raw weights); the
+    trainer rejects it up front, matching the serving restore path."""
+    with pytest.raises(SystemExit, match="ema_decay"):
+        Trainer(
+            _train_cfg(
+                dataset, str(tmp_path / "bad_ema"),
+                use_ema_weights=True,
+            )
+        )

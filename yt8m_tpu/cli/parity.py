@@ -122,6 +122,7 @@ def _labels_from_tfrecords(files: List[str]) -> Dict[str, np.ndarray]:
     from yt8m_tpu.data.tfrecord import tfrecord_iterator
 
     out: Dict[str, np.ndarray] = {}
+    skipped = 0
     for path in files:
         for buf in tfrecord_iterator(path):
             feats = proto.decode_example(buf)
@@ -131,6 +132,12 @@ def _labels_from_tfrecords(files: List[str]) -> Dict[str, np.ndarray]:
             vid = feats.get("id", feats.get("video_id", ("bytes", [b""])))[1]
             vid = vid[0] if vid else b""
             vid = vid.decode() if isinstance(vid, bytes) else str(vid)
+            if not vid:
+                # An id-less record cannot be joined; keying it on ""
+                # would silently overwrite earlier id-less records and
+                # shrink the parity join — count and skip instead.
+                skipped += 1
+                continue
             labels = feats.get("labels")
             ids = (
                 np.asarray([int(v) for v in labels[1]], np.int32)
@@ -138,6 +145,12 @@ def _labels_from_tfrecords(files: List[str]) -> Dict[str, np.ndarray]:
                 else np.zeros((0,), np.int32)
             )
             out[vid] = ids
+    if skipped:
+        log.warning(
+            "label shards: skipped %d record(s) with no id context "
+            "feature — they cannot be joined and are EXCLUDED from the "
+            "parity comparison", skipped,
+        )
     return out
 
 

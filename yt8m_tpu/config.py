@@ -138,13 +138,12 @@ class EvalConfig:
     # On-device metric sparsification: ship per-video top-K triplets to
     # the host instead of dense [B, num_classes] predictions (~25x less
     # device->host traffic + host work at C=4716). Identical to the
-    # dense path when (a) every video has <= K positive labels — the
-    # native parser enforces a genuine per-video 64-label cap
-    # (cpp/yt8m_io.cc per_video_cap), and real YT-8M tops out far below
-    # it — and (b) no score ties straddle the K boundary (measure-zero
-    # for float model outputs; equivalence is tested on-chip).
-    # accumulate_topk warns at runtime if (a) is ever violated.
-    # 0 = exact dense reference path.
+    # dense path when (a) every video has <= K positive labels (a DATA
+    # property — real YT-8M tops out at ~23 labels/video; the reader
+    # writes ground truth verbatim and accumulate_topk WARNS at runtime
+    # if a video exceeds K) and (b) no score ties straddle the K
+    # boundary (measure-zero for float model outputs; equivalence is
+    # tested on-chip). 0 = exact dense reference path, no assumptions.
     device_metric_topk: int = 64
     seed: int = 0
     hparams: ModelHParams = dataclasses.field(default_factory=ModelHParams)

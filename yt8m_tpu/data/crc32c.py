@@ -45,16 +45,14 @@ def _native_masked_crc():
         _NATIVE = False
         try:
             import ctypes
-            import os
 
-            lib_path = os.path.join(
-                os.path.dirname(os.path.dirname(os.path.dirname(
-                    os.path.abspath(__file__)
-                ))),
-                "build", "libyt8m_io.so",
-            )
-            if os.path.exists(lib_path):
-                lib = ctypes.CDLL(lib_path)
+            # Reuse the pipeline's loader: it rebuilds build/libyt8m_io.so
+            # when it is older than cpp/yt8m_io.cc, so a stale .so can't
+            # silently drop us to the slow path (or worse, get used).
+            from yt8m_tpu.data.pipeline import get_native_lib
+
+            lib = get_native_lib()
+            if lib is not None:
                 fn = lib.yt8m_masked_crc32c
                 fn.restype = ctypes.c_uint32
                 fn.argtypes = [ctypes.c_char_p, ctypes.c_size_t]

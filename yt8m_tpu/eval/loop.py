@@ -181,7 +181,15 @@ def evaluation_loop(
         steps = sorted(s for s in ckpt.all_steps() if s not in seen)
         ckpt.close()
         if not steps:
-            if sweep_only and seen:
+            # Sweep mode exits once there is nothing left to evaluate —
+            # including a train_dir with NO checkpoints at all (else
+            # automation invoking the sweep would poll forever).
+            if sweep_only:
+                if not seen:
+                    log.warning(
+                        "--max_evaluations=-1: no checkpoints found in "
+                        "%s — nothing evaluated", config.train_dir,
+                    )
                 return last
             if (
                 max_evaluations is not None

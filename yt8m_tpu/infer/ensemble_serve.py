@@ -139,6 +139,16 @@ def build_ensemble(cfg) -> EnsembleServe:
 
     run_hp = cfg.resolved_hparams()
     hp_fields = {f.name for f in dataclasses.fields(run_hp)}
+    # Serving-time/runtime knobs stay under the CLI's control: a member's
+    # model_flags.json supplies only the STRUCTURAL hparams needed to
+    # rebuild it (cluster sizes, layers, mixtures, ...). Without this
+    # filter, recorded train-time values would silently override e.g.
+    # --dbof_int8_serving or --compute_dtype passed at serve time.
+    runtime_fields = {
+        "compute_dtype", "moe_head_pallas", "dbof_use_pallas",
+        "dbof_int8_serving", "lstm_use_pallas", "netvlad_use_pallas",
+        "netvlad_fused_train", "attention_use_pallas",
+    }
     models = []
     for i, d in enumerate(dirs):
         recorded_name, overrides = _member_run_config(d)
@@ -148,7 +158,10 @@ def build_ensemble(cfg) -> EnsembleServe:
             else (recorded_name or cfg.model)
         )
         hp = run_hp.replace(
-            **{k: v for k, v in overrides.items() if k in hp_fields}
+            **{
+                k: v for k, v in overrides.items()
+                if k in hp_fields and k not in runtime_fields
+            }
         )
         for field in ("feature_dim", "max_frames", "vocab_size"):
             if getattr(hp, field) != getattr(run_hp, field):

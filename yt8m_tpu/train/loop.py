@@ -53,6 +53,13 @@ class Trainer:
         maybe_wipe_train_dir(cfg.train_dir, cfg.start_new_model)
 
         self.hparams = cfg.resolved_hparams()
+        if getattr(cfg, "use_ema_weights", False) and cfg.ema_decay <= 0:
+            # Fail fast: without --ema_decay no EMA is ever tracked, so
+            # --use_ema_weights would silently export/serve raw weights
+            # (the serving restore path raises the same way).
+            raise SystemExit(
+                "--use_ema_weights requires training with --ema_decay > 0"
+            )
         if is_frame_level_model(cfg.model) != cfg.frame_features:
             log.warning(
                 "model %s frame-level=%s but --frame_features=%s",
