@@ -104,3 +104,22 @@ def test_sample_random_sequence_short_video_repeats_last_frame():
     vals = np.asarray(out[0, :, 0])
     assert vals[0] == 0.0 and np.all(vals <= 2.0)
     assert vals[-1] == 2.0  # clipped to the last real frame
+
+
+def test_l2_normalize_zero_row_safe_value_and_grad():
+    """Regression: `v / maximum(linalg.norm(v), eps)` has a NaN reverse-mode
+    gradient at an exactly-zero row (0/0 inside d||v||/dv survives the
+    maximum's zero cotangent as 0*NaN). Observed in the wild: a NetVLAD
+    cluster whose softmax assignment underflows to exact zeros NaN'd
+    GatedNetVladModel at step ~200 of the 50k soak."""
+    from yt8m_tpu.models.frame_utils import l2_normalize
+
+    v = jnp.zeros((3, 4)).at[0, 1].set(2.0).at[2, 0].set(-0.5)
+    out = l2_normalize(v, axis=-1)
+    # Non-zero rows: unit norm, same direction as v/||v||.
+    np.testing.assert_allclose(np.asarray(out[0]), [0, 1, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out[2]), [-1, 0, 0, 0], atol=1e-6)
+    # Zero row: zero output, not NaN.
+    assert np.all(np.asarray(out[1]) == 0.0)
+    g = jax.grad(lambda v: jnp.sum(l2_normalize(v, axis=-1) ** 2))(v)
+    assert np.all(np.isfinite(np.asarray(g)))

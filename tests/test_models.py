@@ -216,3 +216,42 @@ def test_residual_rnn_changes_output_and_keeps_masking():
         np.asarray(a["predictions"]), np.asarray(b["predictions"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_netvlad_saturated_softmax_grads_finite():
+    """Regression for the 50k-soak NaN: saturated cluster logits make the
+    softmax assignment exactly zero for most clusters, so whole VLAD rows
+    are exactly zero; the intra-/global-L2 normalisation must still have
+    finite gradients (models/frame_utils.py :: l2_normalize)."""
+    import jax
+    import jax.numpy as jnp
+
+    from yt8m_tpu.models.netvlad import _NetVladAggregation
+
+    b, f, d, k = 2, 6, 8, 16
+    mod = _NetVladAggregation(
+        cluster_size=k, add_batch_norm=False, use_pallas=False
+    )
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(b, f, d)), jnp.float32)
+    nf = jnp.asarray([f, 3], jnp.int32)
+    mask = jnp.asarray(
+        (np.arange(f)[None, :] < np.asarray(nf)[:, None]), jnp.float32
+    )
+    variables = mod.init(jax.random.PRNGKey(0), feats, nf, mask, train=True)
+    # Scale cluster logits so softmax saturates to exact one-hots.
+    params = jax.tree_util.tree_map(
+        lambda p: p * 1e4 if p.ndim == 2 else p, variables["params"]
+    )
+
+    def loss_fn(params):
+        vlad, _ = mod.apply({"params": params}, feats, nf, mask, train=True)
+        return jnp.sum(vlad**2)
+
+    # Sanity: the saturation really produces exactly-zero VLAD rows.
+    vlad, _ = mod.apply({"params": params}, feats, nf, mask, train=True)
+    row_norms = np.asarray(jnp.sum(vlad.reshape(b, k, d) ** 2, axis=-1))
+    assert (row_norms == 0.0).any(), "expected exact-zero VLAD rows"
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)

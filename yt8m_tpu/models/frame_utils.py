@@ -84,3 +84,21 @@ def frame_pooling(frames, method: str, mask=None):
         denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1.0)
         return jnp.sum(frames * mask[:, :, None], axis=1) / denom
     raise ValueError(f"unknown pooling method {method!r}")
+
+
+def l2_normalize(x, axis, eps: float = 1e-6):
+    """Gradient-safe L2 normalisation: x / max(||x||, eps) with the
+    guard applied to the SQUARED norm, so exactly-zero rows get a zero
+    (not NaN) gradient.
+
+    `x / maximum(linalg.norm(x), eps)` is NaN-unsafe in reverse mode:
+    d||x||/dx = x/||x|| is 0/0 at x == 0, and `maximum`'s zero cotangent
+    still propagates 0 * NaN = NaN into the parameters. A NetVLAD
+    cluster whose softmax assignment underflows to exact zeros across
+    all frames produces such a row (observed: GatedNetVladModel NaN at
+    step ~200 of the 50k soak). tf.nn.l2_normalize — the formulation the
+    reference's VLAD models inherit — guards the squared norm for the
+    same reason.
+    """
+    sum_sq = jnp.sum(jnp.square(x), axis=axis, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(sum_sq, eps * eps))

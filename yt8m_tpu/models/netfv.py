@@ -20,7 +20,11 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from yt8m_tpu.models.frame_utils import ensure_float, frame_mask
+from yt8m_tpu.models.frame_utils import (
+    ensure_float,
+    frame_mask,
+    l2_normalize,
+)
 from yt8m_tpu.models.heads import l2_loss
 from yt8m_tpu.models.hparams import ModelHParams
 from yt8m_tpu.models.registry import register
@@ -97,13 +101,9 @@ class NetFVModel(nn.Module):
         ) / (sigma[None] ** 2) - a_sum[:, :, None]
 
         def normed(v):
-            v = v / jnp.maximum(
-                jnp.linalg.norm(v, axis=2, keepdims=True), 1e-6
-            )
+            v = l2_normalize(v, axis=2)
             v = v.reshape(b, k * d)
-            return v / jnp.maximum(
-                jnp.linalg.norm(v, axis=1, keepdims=True), 1e-6
-            )
+            return l2_normalize(v, axis=1)
 
         fv = jnp.concatenate([normed(fv1), normed(fv2)], axis=1)
 

@@ -29,6 +29,7 @@ from yt8m_tpu.kernels.netvlad import netvlad_aggregate
 from yt8m_tpu.models.frame_utils import (
     ensure_float,
     frame_mask,
+    l2_normalize,
     sample_random_frames,
 )
 from yt8m_tpu.models.heads import ContextGate, l2_loss
@@ -183,13 +184,9 @@ class _NetVladAggregation(nn.Module):
             )
             vlad = vlad - a_sum[:, :, None] * centers_kd[None, :, :]
 
-        vlad = vlad / jnp.maximum(
-            jnp.linalg.norm(vlad, axis=2, keepdims=True), 1e-6
-        )
+        vlad = l2_normalize(vlad, axis=2)
         vlad = vlad.reshape(b, k * d)
-        vlad = vlad / jnp.maximum(
-            jnp.linalg.norm(vlad, axis=1, keepdims=True), 1e-6
-        )
+        vlad = l2_normalize(vlad, axis=1)
         return vlad, reg
 
 

@@ -22,7 +22,11 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from yt8m_tpu.models.frame_utils import ensure_float, frame_mask
+from yt8m_tpu.models.frame_utils import (
+    ensure_float,
+    frame_mask,
+    l2_normalize,
+)
 from yt8m_tpu.models.heads import ContextGate, l2_loss
 from yt8m_tpu.models.hparams import ModelHParams
 from yt8m_tpu.models.registry import register
@@ -109,9 +113,7 @@ class NeXtVladModel(nn.Module):
         a_sum = jnp.sum(assign, axis=(1, 2))  # [B, K]
         vlad = vlad - a_sum[:, :, None] * centers[None, :, :]
 
-        vlad = vlad / jnp.maximum(
-            jnp.linalg.norm(vlad, axis=2, keepdims=True), 1e-6
-        )
+        vlad = l2_normalize(vlad, axis=2)
         vlad = vlad.reshape(b, k * p)
         vlad = nn.BatchNorm(
             use_running_average=not train,
