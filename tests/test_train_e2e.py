@@ -434,3 +434,22 @@ def test_use_ema_weights_without_decay_fails_fast(dataset, tmp_path):
                 use_ema_weights=True,
             )
         )
+
+
+def test_nan_loss_fail_fast():
+    """--fail_on_nan_loss halts training on a non-finite logged loss
+    (reference: TF1 NanTensorHook -> NanLossDuringTrainingError) instead
+    of silently writing NaN checkpoints; =False degrades to an error log."""
+    import pytest as _pytest
+
+    from yt8m_tpu.train.loop import (
+        NanLossDuringTrainingError,
+        check_loss_finite,
+    )
+
+    check_loss_finite(0.5, step=10, fail_on_nan=True)  # finite: no-op
+    for bad in (float("nan"), float("inf"), -float("inf")):
+        with _pytest.raises(NanLossDuringTrainingError, match="diverged"):
+            check_loss_finite(bad, step=10, fail_on_nan=True)
+        check_loss_finite(bad, step=10, fail_on_nan=False)  # warn only
+    assert TrainConfig().fail_on_nan_loss is True  # NanTensorHook default

@@ -78,6 +78,11 @@ class TrainConfig:
     export_model_steps: int = 0
     max_checkpoints_to_keep: int = 5
     log_every_n_steps: int = 10
+    # Fail fast when the training loss goes non-finite (the TF1 stack's
+    # NanTensorHook / NanLossDuringTrainingError semantics). Checked at
+    # the log_every_n_steps boundary where the loss is already fetched,
+    # so the async dispatch pipeline pays no extra device->host sync.
+    fail_on_nan_loss: bool = True
     seed: int = 0
 
     # distillation

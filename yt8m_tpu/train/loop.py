@@ -32,6 +32,33 @@ from yt8m_tpu.utils.summary import SummaryWriter
 log = logging.getLogger("yt8m_tpu.train")
 
 
+class NanLossDuringTrainingError(RuntimeError):
+    """Training loss went non-finite (reference: the TF1 runtime's
+    NanTensorHook raises NanLossDuringTrainingError and stops the run
+    rather than silently writing NaN checkpoints)."""
+
+
+def check_loss_finite(loss: float, step: int, fail_on_nan: bool) -> None:
+    """Raise (or warn, if fail_on_nan is False) on a non-finite loss.
+
+    Called at the logging boundary, where the loss scalar has already
+    been fetched to host — detection adds no device->host sync to the
+    steady-state step pipeline. Detection granularity is therefore
+    log_every_n_steps; a checkpoint written inside that window may
+    still carry the divergence, so the error names the last logged
+    step for rollback."""
+    if np.isfinite(loss):
+        return
+    msg = (
+        f"model diverged with loss = {loss} at step {step}; "
+        f"roll back to a checkpoint before this step "
+        f"(--fail_on_nan_loss=False to keep going anyway)"
+    )
+    if fail_on_nan:
+        raise NanLossDuringTrainingError(msg)
+    log.error(msg)
+
+
 def reader_config_from(cfg) -> ReaderConfig:
     rc = ReaderConfig(
         feature_names=cfg.feature_names,
@@ -282,6 +309,7 @@ class Trainer:
 
             if step % cfg.log_every_n_steps == 0:
                 loss = float(jax.device_get(metrics["loss"]))
+                check_loss_finite(loss, step, cfg.fail_on_nan_loss)
                 dt = time.time() - t_log
                 eps = examples_since_log / max(dt, 1e-9)
                 preds = np.asarray(jax.device_get(metrics["predictions"]))
