@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from yt8m_tpu.models.frame_utils import l2_normalize
+
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 B, F, D, K, H, C = 256, 300, 1152, 256, 1024, 4716
@@ -88,13 +90,9 @@ def main():
             preferred_element_type=jnp.float32,
         )
         vlad = vlad - a_sum[:, :, None] * centers[None]
-        vlad = vlad / jnp.maximum(
-            jnp.linalg.norm(vlad, axis=2, keepdims=True), 1e-6
-        )
+        vlad = l2_normalize(vlad, axis=2)
         vlad = vlad.reshape(B, K * D)
-        return vlad / jnp.maximum(
-            jnp.linalg.norm(vlad, axis=1, keepdims=True), 1e-6
-        )
+        return l2_normalize(vlad, axis=1)
 
     @jax.jit
     def stage_full_fwd(u8, nf, wc, centers, hidden_w, gates_w, experts_w):

@@ -287,67 +287,80 @@ class Trainer:
         examples_since_log = 0
         profiling = False
 
-        for batch in self.data_iterator:
-            if state is None:
-                state = self._init_state(batch)
-                step = int(jax.device_get(state.step))
-            if cfg.max_steps is not None and step >= cfg.max_steps:
-                break
-            if cfg.profile_dir and step == 10 and not profiling:
-                jax.profiler.start_trace(cfg.profile_dir)
-                profiling = True
+        # try/finally: check_loss_finite raises out of the loop body, and
+        # the profiler trace / checkpoint manager / summary writer must be
+        # shut down cleanly on that path too (a final force_save is NOT
+        # done on the error path — the diverged state must not be
+        # persisted; the error message points at the last good checkpoint).
+        try:
+            for batch in self.data_iterator:
+                if state is None:
+                    state = self._init_state(batch)
+                    step = int(jax.device_get(state.step))
+                if cfg.max_steps is not None and step >= cfg.max_steps:
+                    break
+                if cfg.profile_dir and step == 10 and not profiling:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    profiling = True
 
-            device_batch = mesh_lib.shard_batch(batch, self.mesh)
-            rng = jax.random.fold_in(base_key, step)
-            state, metrics = self.train_step(state, device_batch, rng)
-            step += 1
-            examples_since_log += int(batch["batch_mask"].sum())
+                device_batch = mesh_lib.shard_batch(batch, self.mesh)
+                rng = jax.random.fold_in(base_key, step)
+                state, metrics = self.train_step(state, device_batch, rng)
+                step += 1
+                examples_since_log += int(batch["batch_mask"].sum())
 
-            if cfg.profile_dir and profiling and step == 20:
+                if cfg.profile_dir and profiling and step == 20:
+                    jax.profiler.stop_trace()
+                    profiling = False
+
+                if step % cfg.log_every_n_steps == 0:
+                    loss = float(jax.device_get(metrics["loss"]))
+                    check_loss_finite(loss, step, cfg.fail_on_nan_loss)
+                    dt = time.time() - t_log
+                    eps = examples_since_log / max(dt, 1e-9)
+                    preds = np.asarray(
+                        jax.device_get(metrics["predictions"])
+                    )
+                    mask = batch["batch_mask"] > 0
+                    labels = batch["labels"][mask]
+                    preds = preds[: mask.shape[0]][mask]
+                    hit1 = calculate_hit_at_one(preds, labels)
+                    perr = calculate_precision_at_equal_recall_rate(
+                        preds, labels
+                    )
+                    gap = calculate_gap(preds, labels)
+                    log.info(
+                        "training step %d | Loss: %.5f Examples/sec: %.2f | "
+                        "Hit@1: %.4f PERR: %.4f GAP: %.4f",
+                        step, loss, eps, hit1, perr, gap,
+                    )
+                    self.summary.add_global_step_summary(
+                        step,
+                        {
+                            "Loss": loss,
+                            "Examples_Second": eps,
+                            "Hit@1": hit1,
+                            "PERR": perr,
+                            "GAP": gap,
+                        },
+                    )
+                    t_log = time.time()
+                    examples_since_log = 0
+
+                self.ckpt.save(step, state)
+
+                if (
+                    cfg.export_model_steps
+                    and step % cfg.export_model_steps == 0
+                ):
+                    self._export_serving(step, state)
+
+            if state is not None:
+                self.ckpt.force_save(step, state)
+        finally:
+            if profiling:
                 jax.profiler.stop_trace()
-                profiling = False
-
-            if step % cfg.log_every_n_steps == 0:
-                loss = float(jax.device_get(metrics["loss"]))
-                check_loss_finite(loss, step, cfg.fail_on_nan_loss)
-                dt = time.time() - t_log
-                eps = examples_since_log / max(dt, 1e-9)
-                preds = np.asarray(jax.device_get(metrics["predictions"]))
-                mask = batch["batch_mask"] > 0
-                labels = batch["labels"][mask]
-                preds = preds[: mask.shape[0]][mask]
-                hit1 = calculate_hit_at_one(preds, labels)
-                perr = calculate_precision_at_equal_recall_rate(preds, labels)
-                gap = calculate_gap(preds, labels)
-                log.info(
-                    "training step %d | Loss: %.5f Examples/sec: %.2f | "
-                    "Hit@1: %.4f PERR: %.4f GAP: %.4f",
-                    step, loss, eps, hit1, perr, gap,
-                )
-                self.summary.add_global_step_summary(
-                    step,
-                    {
-                        "Loss": loss,
-                        "Examples_Second": eps,
-                        "Hit@1": hit1,
-                        "PERR": perr,
-                        "GAP": gap,
-                    },
-                )
-                t_log = time.time()
-                examples_since_log = 0
-
-            self.ckpt.save(step, state)
-
-            if (
-                cfg.export_model_steps
-                and step % cfg.export_model_steps == 0
-            ):
-                self._export_serving(step, state)
-
-        if state is not None:
-            self.ckpt.force_save(step, state)
-        self.ckpt.close()
-        self.summary.close()
+            self.ckpt.close()
+            self.summary.close()
         log.info("training complete at step %d", step)
         return step
