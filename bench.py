@@ -81,9 +81,12 @@ def main():
             train=False,
             rngs={"sample": jax.random.PRNGKey(2)},
         )
-        values, indices = jax.lax.approx_max_k(
-            out["predictions"], 20, recall_target=1.0
-        )
+        # Shared serving tail: Pallas exact top-20 on TPU (pairs with
+        # the fused MoE head with no boundary penalty), approx_max_k
+        # fallback elsewhere — the same dispatch serving uses.
+        from yt8m_tpu.kernels.topk import serving_topk
+
+        values, indices = serving_topk(out["predictions"], 20)
         return values, indices
 
     # Warmup / compile.

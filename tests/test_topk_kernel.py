@@ -1,9 +1,9 @@
 """exact_topk Pallas kernel (kernels/topk.py) vs jax.lax.top_k.
 
-Kept as a measured experiment: on-chip it ties approx_max_k at k=20
-(1.75 vs 1.7-2.2 ms run spread on [2048, 4716]) — see BENCH_NOTES —
-so serving keeps approx_max_k; the kernel documents that XLA's top-k
-lowering is already near the achievable bound on v5e.
+On the serving path since r3 via serving_topk: paired with the fused
+MoE head it avoids the ~1 ms approx_max_k-after-Pallas boundary
+penalty (full DBoF serving step 11.08 vs 13.08 ms — BENCH_NOTES
+"Pallas tail chain").
 """
 
 import numpy as np
@@ -12,7 +12,7 @@ import pytest
 jax = pytest.importorskip("jax")
 import jax.numpy as jnp  # noqa: E402
 
-from yt8m_tpu.kernels.topk import exact_topk  # noqa: E402
+from yt8m_tpu.kernels.topk import exact_topk, serving_topk  # noqa: E402
 
 
 @pytest.mark.parametrize("b,c,k", [(37, 301, 20), (8, 100, 5), (16, 128, 1)])
@@ -39,3 +39,34 @@ def test_k_bound():
     x = jnp.zeros((4, 300), jnp.float32)
     with pytest.raises(ValueError):
         exact_topk(x, 129, interpret=True)
+
+
+def test_serving_topk_dispatch_parity(monkeypatch):
+    """serving_topk's two branches (Pallas kernel on TPU/interpret,
+    approx_max_k elsewhere) return identical (values, indices) — the
+    dispatch is a pure performance choice, never a semantics one."""
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((33, 4716)), jnp.float32)
+
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
+    pv, pi = serving_topk(x, 20)
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "0")
+    monkeypatch.setenv("YT8M_DISABLE_PALLAS", "1")
+    av, ai = serving_topk(x, 20)
+
+    assert pi.dtype == jnp.int32 and ai.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(av))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ai))
+    rv, ri = jax.lax.top_k(x, 20)
+    np.testing.assert_array_equal(np.asarray(pv), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(pi), np.asarray(ri))
+
+
+def test_serving_topk_large_k_falls_back():
+    """k > 128 exceeds the kernel bound; serving_topk must route to
+    approx_max_k instead of raising."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((4, 400)), jnp.float32)
+    v, i = serving_topk(x, 200, interpret=True)
+    rv, ri = jax.lax.top_k(x, 200)
+    np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))

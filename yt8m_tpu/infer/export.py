@@ -31,10 +31,15 @@ def _serving_fn(model, variables, top_k: int, vocab_size: int):
             train=False,
             rngs={"sample": jax.random.PRNGKey(0)},
         )
-        values, indices = jax.lax.approx_max_k(
-            out["predictions"], top_k, recall_target=1.0
-        )
-        return values, indices.astype(jnp.int32)
+        # serving_topk: Pallas exact top-k when exporting ON TPU (it is
+        # what the fused-head serving path pairs with — BENCH_NOTES
+        # "Pallas tail chain"); approx_max_k when tracing on CPU, where
+        # the model's Pallas dispatch is off too, keeping the exported
+        # StableHLO free of Mosaic custom-calls.
+        from yt8m_tpu.kernels.topk import serving_topk
+
+        values, indices = serving_topk(out["predictions"], top_k)
+        return values, indices
 
     return serve
 

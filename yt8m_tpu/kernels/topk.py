@@ -10,12 +10,14 @@ traffic is one read of x + [B, k] outputs.
 Tie-breaking matches jax.lax.top_k: equal values resolve to the lowest
 class index. Values are emitted in descending order.
 
-Status: measured EXPERIMENT, not on the serving path. On-chip it ties
-approx_max_k(recall=1.0) (1.75 ms vs 1.7-2.2 ms at k=20 on
-[2048, 4716] — XLA's lowering is already near the v5e bound), so
-make_topk_predict_step keeps approx_max_k; this kernel stays as the
-tested record of that experiment (tests/test_topk_kernel.py,
-BENCH_NOTES "Exact top-k kernel experiment"). k <= 128.
+Status: ON the serving path (serving_topk below) since r3. In
+isolation it ties approx_max_k(recall=1.0) (1.75 ms vs 1.7-2.2 ms at
+k=20 on [2048, 4716] — XLA's lowering is near the v5e bound), BUT an
+approx_max_k that consumes a Pallas-produced buffer pays a ~1 ms
+boundary penalty while this kernel does not: the full DBoF serving
+step measures 11.08 ms with Pallas-head + exact_topk vs 13.08 ms with
+XLA-head + approx_max_k (+18%, scripts/exp_pallas_tail_chain.py,
+BENCH_NOTES "Pallas tail chain"). k <= 128.
 """
 
 from __future__ import annotations
@@ -58,12 +60,19 @@ def exact_topk(
     x,                  # [B, C] f32
     k: int = 20,
     interpret: bool = False,
-    block_b: int = 256,
+    block_b: int | None = None,
 ):
-    """(values [B, k] f32 desc-sorted, indices [B, k] i32), exact."""
+    """(values [B, k] f32 desc-sorted, indices [B, k] i32), exact.
+
+    block_b=None picks 256 for k <= 32 and 128 above: the k unrolled
+    sweeps each keep [bb, c_pad] temporaries live, and k=64 at bb=256
+    measures 20.6 MB scoped VMEM — past the 16 MB cap (bb=128 fits and
+    is bitwise-equal to lax.top_k on-chip at [2048, 4716])."""
     b, c = x.shape
     if k > 128:
         raise ValueError(f"exact_topk supports k <= 128, got {k}")
+    if block_b is None:
+        block_b = 256 if k <= 32 else 128
     kpad = 128
     bb = min(block_b, b)
     b_pad = ((b + bb - 1) // bb) * bb
@@ -101,3 +110,52 @@ def exact_topk(
         interpret=interpret,
     )(x)
     return vals[:b, :k], idxs[:b, :k]
+
+
+def serving_topk(x, k: int, interpret: bool = False):
+    """Serving-tail top-k: (values [B,k] f32 desc, indices [B,k] i32).
+
+    Dispatches to the Pallas exact_topk when it is measured-faster —
+    TPU backend (or forced interpret), kernels enabled, k <= 128 — and
+    otherwise to jax.lax.approx_max_k(recall_target=1.0), which is also
+    exact. Both branches sort descending; exact_topk additionally
+    matches lax.top_k's lowest-index tie-break. The Pallas branch is
+    what lets the fused MoE head kernel pay no Pallas->XLA boundary
+    penalty at the top-k consumer (see module docstring)."""
+    from yt8m_tpu.kernels import kernels_enabled, pallas_interpret_forced
+
+    interpret = interpret or pallas_interpret_forced()
+    if (
+        kernels_enabled()
+        and k <= 128
+        and (jax.default_backend() == "tpu" or interpret)
+    ):
+        return exact_topk(x.astype(jnp.float32), k, interpret=interpret)
+    v, i = jax.lax.approx_max_k(
+        x.astype(jnp.float32), k, recall_target=1.0
+    )
+    return v, i.astype(jnp.int32)
+
+
+def sorted_topk(x, k: int, interpret: bool = False):
+    """lax.top_k-semantics top-k for the EVAL metric path.
+
+    Same Pallas dispatch as serving_topk, but the fallback is
+    jax.lax.top_k (not approx_max_k) so the CPU/off path keeps
+    lax.top_k's tie ordering bit-for-bit — the on-device metric
+    sparsification's bitwise-equality contract (test_metrics.py) must
+    hold in BOTH dispatch states. On TPU the kernel is bitwise-equal to
+    lax.top_k (values and indices, verified at [2048, 4716] k=64) while
+    skipping the Mosaic->XLA boundary penalty after the Pallas MoE
+    head."""
+    from yt8m_tpu.kernels import kernels_enabled, pallas_interpret_forced
+
+    interpret = interpret or pallas_interpret_forced()
+    if (
+        kernels_enabled()
+        and k <= 128
+        and (jax.default_backend() == "tpu" or interpret)
+    ):
+        return exact_topk(x.astype(jnp.float32), k, interpret=interpret)
+    v, i = jax.lax.top_k(x.astype(jnp.float32), k)
+    return v, i.astype(jnp.int32)

@@ -84,13 +84,16 @@ class MoeHead(nn.Module):
     num_mixtures: int = 2
     l2_penalty: float = 1e-8
     dtype: Any = jnp.float32
-    # Opt-in: the fused head kernel wins in isolation (2.1 vs 2.9 ms at
-    # B=2048, C=4716) but an approx_max_k that CONSUMES a Pallas output
-    # runs ~1 ms slower than on an XLA-produced buffer, so the full
-    # serving step regresses (150.1k vs 159.5k videos/s/chip). Default
-    # OFF; useful when serving dense probabilities (no top-k consumer),
-    # e.g. pre-ensemble dumps. See BENCH_NOTES.md.
-    use_pallas: bool = False
+    # Default ON since r3. The fused head kernel wins in isolation
+    # (2.1 vs 2.9 ms at B=2048, C=4716); an approx_max_k CONSUMING its
+    # Pallas output pays a ~1 ms boundary penalty (why r2 shipped it
+    # off), but the serving paths now pair it with the Pallas exact
+    # top-k (kernels/topk.py :: serving_topk), where no penalty exists:
+    # full serving step 11.08 vs 13.08 ms (+18%). bf16 reduction-order
+    # agreement vs the XLA head is the same ~3e-3 class as the default
+    # DBoF kernel. --moe_head_pallas=False opts out. See BENCH_NOTES.md
+    # "Pallas tail chain".
+    use_pallas: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):

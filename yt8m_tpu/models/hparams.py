@@ -20,8 +20,12 @@ class ModelHParams:
 
     # video_level_models.py flags
     moe_num_mixtures: int = 2
-    # fused MoE-head serving kernel (kernels/moe_head.py); see MoeHead
-    moe_head_pallas: bool = False
+    # fused MoE-head serving kernel (kernels/moe_head.py); default ON
+    # since r3: paired with the Pallas exact top-k (serving_topk) it
+    # avoids the approx_max_k-after-Pallas boundary penalty and the
+    # full serving step wins 18% (BENCH_NOTES "Pallas tail chain").
+    # --moe_head_pallas=False opts back into the XLA head.
+    moe_head_pallas: bool = True
     moe_l2_penalty: float = 1e-8
     l2_penalty: float = 1e-8
 

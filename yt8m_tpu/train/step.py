@@ -170,7 +170,13 @@ def make_sparse_eval_step(model, loss_obj: BaseLoss, k: int):
         labels = batch["labels"]
         per_ex = loss_obj.calculate_loss(preds, labels)
         kk = min(k, preds.shape[-1])
-        vals, idx = jax.lax.top_k(preds.astype(jnp.float32), kk)
+        # sorted_topk == lax.top_k bit-for-bit (both dispatch states);
+        # on TPU the Pallas branch skips the Mosaic->XLA boundary
+        # penalty after the fused MoE head (BENCH_NOTES "Pallas tail
+        # chain") — metric bitwise-equality is unaffected.
+        from yt8m_tpu.kernels.topk import sorted_topk
+
+        vals, idx = sorted_topk(preds, kk)
         lab_k = jnp.take_along_axis(labels, idx, axis=1)
         pos = labels > 0
         row_keep = (batch["batch_mask"] > 0)[:, None]
@@ -227,12 +233,13 @@ def make_topk_predict_step(model, top_k: int = 20):
             train=False,
             rngs={"sample": rng},
         )
-        # approx_max_k(recall_target=1.0) is exact and faster than
-        # lax.top_k on TPU (verified value/index-set equality on-chip).
+        # serving_topk: Pallas exact top-k on TPU (no Pallas->XLA
+        # boundary penalty after the fused MoE head — +18% full-step,
+        # BENCH_NOTES "Pallas tail chain"), approx_max_k(recall=1.0)
+        # elsewhere; both exact (value/index-set equality on-chip).
+        from yt8m_tpu.kernels.topk import serving_topk
+
         k = min(top_k, out["predictions"].shape[-1])
-        values, indices = jax.lax.approx_max_k(
-            out["predictions"], k, recall_target=1.0
-        )
-        return values, indices.astype(jnp.int32)
+        return serving_topk(out["predictions"], k)
 
     return jax.jit(step)
