@@ -270,9 +270,14 @@ class _GruLayer(nn.Module):
                 xg = jnp.flip(xg, axis=0)
                 xc = jnp.flip(xc, axis=0)
             if train:
+                # tb=128: full MXU rows per sequential grid step —
+                # 1.06-1.07x over tb=64, bitwise-identical (on-chip A/B,
+                # scripts/exp_gru_train_tileb.py; same class as the
+                # LSTM tiling win). GRU keeps 3 gate blocks live vs
+                # LSTM's 4, so it fits the default VMEM cap.
                 outputs, final_h = gru_recurrence_trainable(
                     xg, xc, num_frames, gate_kernel[d:], cand_kernel[d:],
-                    gate_bias, cand_bias, self.reverse, 64, interpret,
+                    gate_bias, cand_bias, self.reverse, 128, interpret,
                 )
             else:
                 outputs, final_h = gru_recurrence(
