@@ -74,6 +74,12 @@ class TrainConfig:
     train_dir: str = "/tmp/yt8m_model/"
     start_new_model: bool = False
     save_checkpoint_every_n_steps: int = 1000
+    # Async checkpoint commit: save() only blocks on the device->host
+    # copy; serialization + disk write run on a background thread
+    # (orbax async). The final save of a run is always awaited. Default
+    # off — the synchronous path is the save-returns-durable reference
+    # semantics (tf.train.Saver under Supervisor).
+    async_checkpoint: bool = False
     # reference train.py exported a serving graph every N steps (0 = off)
     export_model_steps: int = 0
     max_checkpoints_to_keep: int = 5

@@ -22,8 +22,10 @@ class CheckpointManager:
         directory: str,
         max_to_keep: int = 5,
         save_interval_steps: int = 1,
+        async_save: bool = False,
     ):
         self.directory = os.path.abspath(directory)
+        self.async_save = async_save
         os.makedirs(self.directory, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self.directory,
@@ -31,7 +33,7 @@ class CheckpointManager:
                 max_to_keep=max_to_keep,
                 save_interval_steps=save_interval_steps,
                 create=True,
-                enable_async_checkpointing=False,
+                enable_async_checkpointing=async_save,
             ),
         )
 
@@ -40,6 +42,18 @@ class CheckpointManager:
         # host every step would serialise training on the transfer.
         if not self._mgr.should_save(step):
             return False
+        if self.async_save:
+            # --async_checkpoint: orbax's async path copies device
+            # arrays to host BEFORE save() returns (the only blocking
+            # portion); serialization + disk write continue on a
+            # background thread. Donated train-state buffers are
+            # therefore safe to reuse on the very next step, and the
+            # train loop no longer stalls on the disk write. A save
+            # issued while the previous one is in flight waits for it
+            # inside orbax (ordering preserved); directories commit
+            # atomically, so a crash mid-write leaves the previous
+            # checkpoint as latest (resume falls back one save).
+            return self._mgr.save(step, args=ocp.args.StandardSave(state))
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(jax.device_get(state))
         )
@@ -48,12 +62,21 @@ class CheckpointManager:
 
     def force_save(self, step: int, state) -> bool:
         if step in self._mgr.all_steps():
+            # A same-step async save may still be in flight (not yet in
+            # all_steps) — handled below by the durability wait.
+            self._mgr.wait_until_finished()
             return False
         saved = self._mgr.save(
             step, args=ocp.args.StandardSave(jax.device_get(state)), force=True
         )
+        # The final checkpoint of a run must be durable before run()
+        # returns, async mode included.
         self._mgr.wait_until_finished()
         return saved
+
+    def wait_until_finished(self) -> None:
+        """Block until all in-flight async saves are committed."""
+        self._mgr.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
@@ -134,6 +157,10 @@ class CheckpointManager:
             return restored.replace(ema_params=None)
 
     def close(self):
+        # Durability before shutdown: drain any in-flight async save
+        # (orbax's close also waits; explicit for the error path, where
+        # close() is the only barrier between a raise and process exit).
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 

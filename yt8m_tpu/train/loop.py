@@ -160,6 +160,7 @@ class Trainer:
             cfg.train_dir,
             max_to_keep=cfg.max_checkpoints_to_keep,
             save_interval_steps=cfg.save_checkpoint_every_n_steps,
+            async_save=cfg.async_checkpoint,
         )
         self.summary = SummaryWriter(cfg.train_dir)
         if jax.process_index() == 0:
