@@ -51,7 +51,9 @@ STEPS = int(os.environ.get("YT8M_EXP_STEPS", "30"))
 
 
 def main():
-    hp_x = _flagship_hparams()
+    # moe_head_pallas defaults True since d9fe6d5 — force the XLA-head
+    # controls explicitly so A/D stay true controls on reruns.
+    hp_x = _flagship_hparams().replace(moe_head_pallas=False)
     if os.environ.get("YT8M_EXP_TINY") == "1":  # CPU interpret smoke
         hp_x = hp_x.replace(dbof_cluster_size=256, dbof_hidden_size=128)
     hp_p = hp_x.replace(moe_head_pallas=True)

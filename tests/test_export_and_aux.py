@@ -322,3 +322,59 @@ def test_flagship_netvlad_lstm_export_roundtrip(tmp_path):
     )
     top = np.sort(np.asarray(out["predictions"]), axis=1)[:, -4:][:, ::-1]
     np.testing.assert_allclose(values, top, atol=1e-5)
+
+
+def test_polymorphic_export_with_pallas_dispatch_active(
+    tmp_path, monkeypatch
+):
+    """Regression: with the Pallas serving tail default-ON (r3), a
+    polymorphic-batch export (batch_size=0) used to crash at trace time
+    — the symbolic batch dim hit the kernels' `min(block_b, b)` / pad
+    arithmetic (InconclusiveDimensionOperation) in the fused MoE head,
+    serving_topk, and the frame-level aggregation kernels. The dispatch
+    sites now require kernels.static_shape() and fall back to the XLA
+    graph under jax.export. YT8M_PALLAS_INTERPRET=1 forces the dispatch
+    condition on CPU exactly as a TPU host would see it."""
+    from yt8m_tpu.infer.export import export_model, load_serving
+
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
+    rng = np.random.default_rng(11)
+
+    # Video-level: exercises heads.py MoeHead + serving_topk dispatch.
+    _, variables = _make_variables()
+    export_dir = str(tmp_path / "poly_moe")
+    export_model(
+        export_dir, "MoeModel", HP, variables["params"],
+        batch_size=0, top_k=5,
+    )
+    serve, _ = load_serving(export_dir)
+    for b in (2, 5):
+        feats = rng.normal(size=(b, D)).astype(np.float32)
+        values, indices = serve(feats, np.ones((b,), np.int32))
+        assert np.asarray(values).shape == (b, 5)
+        idx = np.asarray(indices)
+        assert idx.min() >= 0 and idx.max() < C
+
+    # Frame-level DBoF: exercises the frame.py fused cluster+pool
+    # dispatch on top of the head/topk ones.
+    hp = HP.replace(
+        max_frames=8, dbof_cluster_size=16, dbof_hidden_size=8,
+    )
+    model = get_model("GatedDbofModel", hp)
+    feats = rng.integers(0, 256, size=(2, 8, D), dtype=np.uint8)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(feats), np.full((2,), 8, np.int32), train=False,
+    )
+    export_dir = str(tmp_path / "poly_dbof")
+    export_model(
+        export_dir, "GatedDbofModel", hp, variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        batch_size=0, top_k=4,
+    )
+    serve, _ = load_serving(export_dir)
+    for b in (2, 3):
+        f = rng.integers(0, 256, size=(b, 8, D), dtype=np.uint8)
+        nf = rng.integers(1, 9, size=(b,)).astype(np.int32)
+        values, _ = serve(f, nf)
+        assert np.asarray(values).shape == (b, 4)

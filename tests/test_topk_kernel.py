@@ -69,4 +69,38 @@ def test_serving_topk_large_k_falls_back():
     x = jnp.asarray(rng.random((4, 400)), jnp.float32)
     v, i = serving_topk(x, 200, interpret=True)
     rv, ri = jax.lax.top_k(x, 200)
+    assert i.dtype == jnp.int32
     np.testing.assert_array_equal(np.asarray(v), np.asarray(rv))
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(ri))
+
+
+def test_nan_and_neginf_rank_last_with_valid_indices():
+    """exact_topk's sanitisation contract: NaN / -inf / <=-3e38 inputs
+    rank LAST (value reported as -3e38) with valid in-range indices —
+    a single NaN used to poison its row's max so every slot emitted the
+    2**30 argmin sentinel, which downstream take_along_axis silently
+    clamped to the last class."""
+    x = np.array(
+        [
+            [0.9, np.nan, 0.5, 0.1, 0.3],
+            [np.nan, np.nan, np.nan, np.nan, np.nan],
+            [-np.inf, 0.2, -3.2e38, 0.7, 0.4],
+            [0.8, 0.6, 0.4, 0.2, 0.0],  # clean row: bitwise lax.top_k
+        ],
+        np.float32,
+    )
+    v, i = exact_topk(jnp.asarray(x), 3, interpret=True, block_b=4)
+    v, i = np.asarray(v), np.asarray(i)
+    assert i.min() >= 0 and i.max() < 5
+    # Row 0: NaN ranks last -> top-3 are the finite 0.9, 0.5, 0.3.
+    np.testing.assert_array_equal(i[0], [0, 2, 4])
+    np.testing.assert_allclose(v[0], [0.9, 0.5, 0.3])
+    # Row 1 (all NaN): deterministic lowest-index fill, sentinel value.
+    np.testing.assert_array_equal(i[1], [0, 1, 2])
+    assert np.all(v[1] == np.float32(-3.0e38))
+    # Row 2: -inf and -3.2e38 rank behind every finite-normal entry.
+    np.testing.assert_array_equal(i[2], [3, 4, 1])
+    # Clean row stays bitwise lax.top_k.
+    rv, ri = jax.lax.top_k(jnp.asarray(x[3:4]), 3)
+    np.testing.assert_array_equal(v[3:4], np.asarray(rv))
+    np.testing.assert_array_equal(i[3:4], np.asarray(ri))

@@ -20,3 +20,18 @@ def kernels_enabled() -> bool:
 
 def pallas_interpret_forced() -> bool:
     return os.environ.get("YT8M_PALLAS_INTERPRET", "0") == "1"
+
+
+def static_shape(*arrays) -> bool:
+    """True when every dim of every array is a concrete Python int.
+
+    Under `jax.export` with a polymorphic batch (infer/export.py,
+    batch_size=0) the traced dims are symbolic `_DimExpr` objects; the
+    kernels' block/pad arithmetic (`min(block_b, b)`, ceil-div padding)
+    cannot be resolved on those, so every Pallas dispatch site must
+    fall back to its XLA path. All other callers (jit over concrete
+    batches) see plain ints and dispatch normally.
+    """
+    return all(
+        isinstance(d, int) for a in arrays for d in a.shape
+    )

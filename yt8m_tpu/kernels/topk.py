@@ -35,6 +35,18 @@ _NEG = -3.0e38  # below any f32 input we serve (probabilities/logits)
 def _kernel(x_ref, vals_ref, idx_ref, *, k, kpad):
     bb, cpad = x_ref.shape
     v = x_ref[...]
+    # Sanitise: NaN and anything at/below the _NEG padding sentinel
+    # rank LAST (reported as _NEG) with valid in-range indices. Without
+    # this a single NaN poisons its row's max (`hit` goes all-False and
+    # the 2**30 argmin sentinel leaks into idx), and a -inf input would
+    # lose to the out-of-range padding columns. Knocked-out lanes go to
+    # -inf below, so sanitised real lanes always beat them; ties with
+    # the _NEG padding resolve to the real lane (lower index). Finite
+    # inputs above _NEG — every model output we serve — are untouched.
+    v = jnp.maximum(
+        jnp.where(jnp.isnan(v), jnp.float32(_NEG), v),
+        jnp.float32(_NEG),
+    )
     lanes = jax.lax.broadcasted_iota(jnp.int32, (bb, cpad), 1)
     vals = jnp.full((bb, kpad), 0.0, jnp.float32)
     idxs = jnp.zeros((bb, kpad), jnp.int32)
@@ -48,7 +60,7 @@ def _kernel(x_ref, vals_ref, idx_ref, *, k, kpad):
         )                                                      # [bb, 1]
         vals = jnp.where(cols == j, m, vals)
         idxs = jnp.where(cols == j, am, idxs)
-        v = jnp.where(lanes == am, jnp.float32(_NEG), v)
+        v = jnp.where(lanes == am, jnp.float32(-jnp.inf), v)
     vals_ref[...] = vals
     idx_ref[...] = idxs
 
@@ -63,6 +75,13 @@ def exact_topk(
     block_b: int | None = None,
 ):
     """(values [B, k] f32 desc-sorted, indices [B, k] i32), exact.
+
+    Contract: for finite inputs above -3.0e38 (any probability/logit a
+    model serves) the output is bitwise lax.top_k, lowest-index ties.
+    NaN and values <= -3.0e38 are sanitised to rank LAST and report
+    value -3.0e38 (lax.top_k would instead rank NaN first) — indices
+    stay valid and in-range either way, so a diverged model degrades
+    to garbage-but-bounded metrics rather than out-of-range gathers.
 
     block_b=None picks 256 for k <= 32 and 128 above: the k unrolled
     sweeps each keep [bb, c_pad] temporaries live, and k=64 at bb=256
@@ -112,29 +131,49 @@ def exact_topk(
     return vals[:b, :k], idxs[:b, :k]
 
 
-def serving_topk(x, k: int, interpret: bool = False):
-    """Serving-tail top-k: (values [B,k] f32 desc, indices [B,k] i32).
+def _dispatch_topk(x, k: int, interpret: bool, fallback):
+    """Shared Pallas-vs-XLA dispatch for the two top-k entry points.
 
-    Dispatches to the Pallas exact_topk when it is measured-faster —
-    TPU backend (or forced interpret), kernels enabled, k <= 128 — and
-    otherwise to jax.lax.approx_max_k(recall_target=1.0), which is also
-    exact. Both branches sort descending; exact_topk additionally
-    matches lax.top_k's lowest-index tie-break. The Pallas branch is
-    what lets the fused MoE head kernel pay no Pallas->XLA boundary
-    penalty at the top-k consumer (see module docstring)."""
-    from yt8m_tpu.kernels import kernels_enabled, pallas_interpret_forced
+    The kernel takes the call when it is measured-faster — kernels
+    enabled, k within the kernel bound, TPU backend (or forced
+    interpret) — AND the shape is fully static: under jax.export's
+    polymorphic batch the dims are symbolic and the kernel's block/pad
+    arithmetic cannot trace, so export falls back to the XLA op
+    (kernels.static_shape)."""
+    from yt8m_tpu.kernels import (
+        kernels_enabled,
+        pallas_interpret_forced,
+        static_shape,
+    )
 
     interpret = interpret or pallas_interpret_forced()
     if (
         kernels_enabled()
         and k <= 128
         and (jax.default_backend() == "tpu" or interpret)
+        and static_shape(x)
     ):
         return exact_topk(x.astype(jnp.float32), k, interpret=interpret)
-    v, i = jax.lax.approx_max_k(
-        x.astype(jnp.float32), k, recall_target=1.0
-    )
+    v, i = fallback(x.astype(jnp.float32), k)
     return v, i.astype(jnp.int32)
+
+
+def serving_topk(x, k: int, interpret: bool = False):
+    """Serving-tail top-k: (values [B,k] f32 desc, indices [B,k] i32).
+
+    Dispatches to the Pallas exact_topk when it is measured-faster
+    (_dispatch_topk) and otherwise to
+    jax.lax.approx_max_k(recall_target=1.0), which is also exact. Both
+    branches sort descending; exact_topk additionally matches
+    lax.top_k's lowest-index tie-break. The Pallas branch is what lets
+    the fused MoE head kernel pay no Pallas->XLA boundary penalty at
+    the top-k consumer (see module docstring)."""
+    return _dispatch_topk(
+        x,
+        k,
+        interpret,
+        lambda xx, kk: jax.lax.approx_max_k(xx, kk, recall_target=1.0),
+    )
 
 
 def sorted_topk(x, k: int, interpret: bool = False):
@@ -145,17 +184,8 @@ def sorted_topk(x, k: int, interpret: bool = False):
     lax.top_k's tie ordering bit-for-bit — the on-device metric
     sparsification's bitwise-equality contract (test_metrics.py) must
     hold in BOTH dispatch states. On TPU the kernel is bitwise-equal to
-    lax.top_k (values and indices, verified at [2048, 4716] k=64) while
-    skipping the Mosaic->XLA boundary penalty after the Pallas MoE
-    head."""
-    from yt8m_tpu.kernels import kernels_enabled, pallas_interpret_forced
-
-    interpret = interpret or pallas_interpret_forced()
-    if (
-        kernels_enabled()
-        and k <= 128
-        and (jax.default_backend() == "tpu" or interpret)
-    ):
-        return exact_topk(x.astype(jnp.float32), k, interpret=interpret)
-    v, i = jax.lax.top_k(x.astype(jnp.float32), k)
-    return v, i.astype(jnp.int32)
+    lax.top_k (values and indices, verified at [2048, 4716] k=64) for
+    finite inputs above -3.0e38; NaN inputs rank last instead of first
+    (see exact_topk's contract) — never out-of-range indices. Skips the
+    Mosaic->XLA boundary penalty after the Pallas MoE head."""
+    return _dispatch_topk(x, k, interpret, jax.lax.top_k)

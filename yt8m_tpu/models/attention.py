@@ -41,7 +41,7 @@ class _AttentionPool(nn.Module):
             (d, h),
             jnp.float32,
         )
-        from yt8m_tpu.kernels import kernels_enabled
+        from yt8m_tpu.kernels import kernels_enabled, static_shape
 
         if (
             not train
@@ -49,6 +49,9 @@ class _AttentionPool(nn.Module):
             and kernels_enabled()
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
+            # Symbolic dims (polymorphic-batch export) can't trace the
+            # kernel's block arithmetic — fall back to the XLA graph.
+            and static_shape(frames)
         ):
             pooled = attention_pool(
                 frames, num_frames, query, dtype=self.dtype,

@@ -154,6 +154,7 @@ class _DbofBase(nn.Module):
         from yt8m_tpu.kernels import (
             kernels_enabled,
             pallas_interpret_forced,
+            static_shape,
         )
 
         interpret = pallas_interpret_forced()
@@ -164,6 +165,9 @@ class _DbofBase(nn.Module):
             and kernels_enabled()
             and not self.is_initializing()
             and (jax.default_backend() == "tpu" or interpret)
+            # Symbolic dims (polymorphic-batch export) can't trace the
+            # kernel's block arithmetic — fall back to the XLA graph.
+            and static_shape(x_raw)
         )
         if use_fused:
             # Fused cluster+pool (kernels/dbof.py): dequant + input-BN

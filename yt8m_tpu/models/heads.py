@@ -102,6 +102,7 @@ class MoeHead(nn.Module):
         from yt8m_tpu.kernels import (
             kernels_enabled,
             pallas_interpret_forced,
+            static_shape,
         )
 
         m = self.num_mixtures
@@ -130,6 +131,9 @@ class MoeHead(nn.Module):
             and kernels_enabled()
             and not self.is_initializing()
             and (jax.default_backend() == "tpu" or interpret)
+            # Polymorphic-batch export traces symbolic dims the kernel's
+            # block arithmetic can't resolve — fall back to the XLA head.
+            and static_shape(x)
         )
         if use_fused:
             # Fused gates+experts+combine per class tile

@@ -100,6 +100,7 @@ class _NetVladAggregation(nn.Module):
         from yt8m_tpu.kernels import (
             kernels_enabled,
             pallas_interpret_forced,
+            static_shape,
         )
 
         if (
@@ -108,6 +109,9 @@ class _NetVladAggregation(nn.Module):
             and kernels_enabled()
             and not self.is_initializing()
             and jax.default_backend() == "tpu"
+            # Symbolic dims (polymorphic-batch export) can't trace the
+            # kernel's block arithmetic — fall back to the XLA graph.
+            and static_shape(frames)
         ):
             # Inference: fold (BN | bias) into a per-cluster affine and run
             # the fused kernel on the RAW (possibly uint8) frames.
@@ -156,6 +160,7 @@ class _NetVladAggregation(nn.Module):
             and kernels_enabled()
             and not self.is_initializing()
             and (jax.default_backend() == "tpu" or interpret)
+            and static_shape(frames)
         ):
             # Fused TRAINING core (kernels/netvlad_train.py, custom VJP):
             # masked softmax + both aggregation matmuls in one

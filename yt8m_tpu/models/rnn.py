@@ -119,6 +119,7 @@ class _LstmLayer(nn.Module):
         from yt8m_tpu.kernels import (
             kernels_enabled,
             pallas_interpret_forced,
+            static_shape,
         )
 
         interpret = pallas_interpret_forced()
@@ -132,6 +133,9 @@ class _LstmLayer(nn.Module):
             and not self.is_initializing()
             and (jnp.dtype(self.dtype) == jnp.bfloat16 or interpret)
             and (jax.default_backend() == "tpu" or interpret)
+            # Symbolic dims (polymorphic-batch export) can't trace the
+            # kernel's block arithmetic — fall back to the scan path.
+            and static_shape(xs)
         ):
             # Fused path: batched input projection + Pallas recurrence
             # with W_h resident in VMEM. Training uses the custom-VJP
@@ -231,6 +235,7 @@ class _GruLayer(nn.Module):
         from yt8m_tpu.kernels import (
             kernels_enabled,
             pallas_interpret_forced,
+            static_shape,
         )
 
         interpret = pallas_interpret_forced()
@@ -244,6 +249,9 @@ class _GruLayer(nn.Module):
             and not self.is_initializing()
             and (jnp.dtype(self.dtype) == jnp.bfloat16 or interpret)
             and (jax.default_backend() == "tpu" or interpret)
+            # Symbolic dims (polymorphic-batch export) can't trace the
+            # kernel's block arithmetic — fall back to the scan path.
+            and static_shape(xs)
         ):
             # Fused path: batched input projections + Pallas recurrence
             # with Whg/Whc resident in VMEM. Training uses the custom-VJP
