@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""Validate the four Pallas kernels compile + run on real TPU hardware and
-match their jnp oracles (the interpret-mode tests cover CPU; this script
-is the on-chip check). Prints one line per kernel."""
+"""Validate the serving Pallas kernels (NetVLAD, attention pool, DBoF
+dense + sampled, fused MoE head, exact top-k) compile + run on real TPU
+hardware and match their jnp/lax oracles (the interpret-mode tests cover
+CPU; this script is the on-chip check). Prints one line per kernel."""
 
 import sys
 import time
@@ -193,6 +194,23 @@ def main():
     print(f"moe head TPU: {time.time()-t0:.1f}s max_err={err:.4f}",
           flush=True)
     assert err < 0.05  # bf16 trajectory sensitivity (XLA excess precision)
+    # exact top-k (kernels/topk.py) vs lax.top_k: bitwise for clean
+    # inputs at serving shape; NaN rows degrade to valid in-range
+    # indices (the r3 sanitisation contract).
+    from yt8m_tpu.kernels.topk import exact_topk
+
+    t0 = time.time()
+    xt = jnp.asarray(rng.random((2048, 4716)), jnp.float32)
+    tv, ti = exact_topk(xt, 20)
+    jax.block_until_ready(tv)
+    rv, ri = jax.lax.top_k(xt, 20)
+    assert bool(jnp.all(tv == rv)) and bool(jnp.all(ti == ri))
+    xnan = xt.at[7, :].set(jnp.nan).at[9, 3].set(jnp.nan)
+    nv, ni = exact_topk(xnan, 20)
+    assert int(jnp.min(ni)) >= 0 and int(jnp.max(ni)) < 4716
+    assert bool(jnp.all(ni[7] == jnp.arange(20)))  # all-NaN row: index fill
+    print(f"exact_topk TPU: {time.time()-t0:.1f}s bitwise-ok nan-ok",
+          flush=True)
     print("ALL KERNELS TPU OK", flush=True)
 
 

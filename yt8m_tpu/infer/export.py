@@ -31,11 +31,14 @@ def _serving_fn(model, variables, top_k: int, vocab_size: int):
             train=False,
             rngs={"sample": jax.random.PRNGKey(0)},
         )
-        # serving_topk: Pallas exact top-k when exporting ON TPU (it is
-        # what the fused-head serving path pairs with — BENCH_NOTES
-        # "Pallas tail chain"); approx_max_k when tracing on CPU, where
-        # the model's Pallas dispatch is off too, keeping the exported
-        # StableHLO free of Mosaic custom-calls.
+        # serving_topk: Pallas exact top-k when exporting ON TPU with a
+        # LOCKED batch size (it is what the fused-head serving path
+        # pairs with — BENCH_NOTES "Pallas tail chain"). Under a
+        # polymorphic batch (batch_size=0) every Pallas dispatch site
+        # falls back to its XLA graph (kernels.static_shape — symbolic
+        # dims can't trace the kernels' block arithmetic), and on CPU
+        # the dispatch is off anyway — both keep the exported StableHLO
+        # free of Mosaic custom-calls.
         from yt8m_tpu.kernels.topk import serving_topk
 
         values, indices = serving_topk(out["predictions"], top_k)
