@@ -194,6 +194,38 @@ def main():
     print(f"moe head TPU: {time.time()-t0:.1f}s max_err={err:.4f}",
           flush=True)
     assert err < 0.05  # bf16 trajectory sensitivity (XLA excess precision)
+    # fused NeXtVLAD aggregation (kernels/nextvlad.py) vs its jnp
+    # oracle at the reference config (G=8, lambda=2, K=128, P=288).
+    from yt8m_tpu.kernels.nextvlad import (
+        nextvlad_aggregate,
+        nextvlad_aggregate_reference,
+    )
+
+    t0 = time.time()
+    lam, gg, kk = 2, 8, 128
+    de = lam * d
+    wexp = rng.normal(0, 0.05, (d, de)).astype(np.float32)
+    wat = rng.normal(0, 0.05, (de, gg)).astype(np.float32)
+    bat = rng.normal(0, 0.05, (gg,)).astype(np.float32)
+    wcl = rng.normal(0, 0.05, (de, gg * kk)).astype(np.float32)
+    cen = rng.normal(0, 0.05, (kk, de // gg)).astype(np.float32)
+    got = jax.block_until_ready(
+        nextvlad_aggregate(
+            jnp.asarray(frames), jnp.asarray(nf), jnp.asarray(wexp),
+            jnp.asarray(wat), jnp.asarray(bat), jnp.asarray(wcl),
+            jnp.asarray(cen), groups=gg,
+        )
+    )
+    ref = nextvlad_aggregate_reference(
+        jnp.asarray(frames), jnp.asarray(nf), jnp.asarray(wexp),
+        jnp.asarray(wat), jnp.asarray(bat), jnp.asarray(wcl),
+        jnp.asarray(cen), groups=gg,
+    )
+    err = float(jnp.max(jnp.abs(got - ref)))
+    print(f"nextvlad TPU: {time.time()-t0:.1f}s max_err={err:.4f}",
+          flush=True)
+    assert err < 0.05
+
     # exact top-k (kernels/topk.py) vs lax.top_k: bitwise for clean
     # inputs at serving shape; NaN rows degrade to valid in-range
     # indices (the r3 sanitisation contract).

@@ -88,6 +88,8 @@ class ModelHParams:
     nextvlad_expansion: int = 2
     nextvlad_cluster_size: int = 128
     nextvlad_hidden_size: int = 1024
+    # fused serving aggregation kernel (kernels/nextvlad.py)
+    nextvlad_use_pallas: bool = True
 
     # Temporal CNN family (fork CNN variants)
     cnn_filters: int = 1024

@@ -39,15 +39,15 @@ class NeXtVladModel(nn.Module):
 
     @nn.compact
     def __call__(self, features, num_frames, train: bool = False, **kw):
+        import jax
+
         hp = self.hp
-        features = ensure_float(features)
         b, f, d = features.shape
         lam = hp.nextvlad_expansion
         g = hp.nextvlad_groups
         k = hp.nextvlad_cluster_size
         de = lam * d
         p = de // g  # per-group dim
-        mask = frame_mask(num_frames, f, jnp.float32)
 
         expand_w = self.param(
             "expand_weights",
@@ -55,13 +55,6 @@ class NeXtVladModel(nn.Module):
             (d, de),
             jnp.float32,
         )
-        xe = jnp.einsum(
-            "bfd,de->bfe",
-            features.astype(hp.dtype),
-            expand_w.astype(hp.dtype),
-            preferred_element_type=jnp.float32,
-        )  # [B, F, De]
-
         attn_w = self.param(
             "group_attention_weights",
             nn.initializers.normal(1.0 / jnp.sqrt(de)),
@@ -71,50 +64,54 @@ class NeXtVladModel(nn.Module):
         attn_b = self.param(
             "group_attention_bias", nn.initializers.zeros, (g,), jnp.float32
         )
-        alpha = nn.sigmoid(
-            jnp.einsum(
-                "bfe,eg->bfg",
-                xe.astype(hp.dtype),
-                attn_w.astype(hp.dtype),
-                preferred_element_type=jnp.float32,
-            )
-            + attn_b
-        )  # [B, F, G]
-
         cluster_w = self.param(
             "cluster_weights",
             nn.initializers.normal(1.0 / jnp.sqrt(de)),
             (de, g * k),
             jnp.float32,
         )
-        act = jnp.einsum(
-            "bfe,ec->bfc",
-            xe.astype(hp.dtype),
-            cluster_w.astype(hp.dtype),
-            preferred_element_type=jnp.float32,
-        ).reshape(b, f, g, k)
-        assign = nn.softmax(act, axis=-1)
-        assign = assign * alpha[:, :, :, None]
-        assign = assign * mask[:, :, None, None]
-
         centers = self.param(
             "cluster_weights2",
             nn.initializers.normal(1.0 / jnp.sqrt(de)),
             (k, p),
             jnp.float32,
         )
-        xg = xe.reshape(b, f, g, p)
-        vlad = jnp.einsum(
-            "bfgk,bfgp->bkp",
-            assign.astype(hp.dtype),
-            xg.astype(hp.dtype),
-            preferred_element_type=jnp.float32,
-        )
-        a_sum = jnp.sum(assign, axis=(1, 2))  # [B, K]
-        vlad = vlad - a_sum[:, :, None] * centers[None, :, :]
 
-        vlad = l2_normalize(vlad, axis=2)
-        vlad = vlad.reshape(b, k * p)
+        from yt8m_tpu.kernels import (
+            kernels_enabled,
+            pallas_interpret_forced,
+            static_shape,
+        )
+
+        interpret = pallas_interpret_forced()
+        if (
+            not train
+            and hp.nextvlad_use_pallas
+            and kernels_enabled()
+            and not self.is_initializing()
+            and (jnp.dtype(hp.dtype) == jnp.bfloat16 or interpret)
+            and (jax.default_backend() == "tpu" or interpret)
+            and static_shape(features)
+        ):
+            # Fused aggregation (kernels/nextvlad.py): dequant +
+            # expansion + group attention + per-group softmax +
+            # grouped residual aggregation + intra-norm, one VMEM
+            # program per video — never materialises xe [B,F,lam*D] or
+            # the [B,F,G,K] assignment in HBM. Takes the RAW (possibly
+            # uint8) frames.
+            from yt8m_tpu.kernels.nextvlad import nextvlad_aggregate
+
+            vlad = nextvlad_aggregate(
+                features, num_frames, expand_w, attn_w, attn_b,
+                cluster_w, centers, groups=g, dtype=hp.dtype,
+                interpret=interpret,
+            )
+            vlad = vlad.reshape(b, k * p)
+        else:
+            vlad = self._jnp_aggregate(
+                features, num_frames, expand_w, attn_w, attn_b,
+                cluster_w, centers,
+            )
         vlad = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.99,
@@ -151,3 +148,56 @@ class NeXtVladModel(nn.Module):
             "regularization_loss", 0.0
         ) + hp.l2_penalty * l2_loss(expand_w, cluster_w, hidden_w)
         return out
+
+    def _jnp_aggregate(
+        self, features, num_frames, expand_w, attn_w, attn_b,
+        cluster_w, centers,
+    ):
+        """XLA aggregation path (training, CPU, opt-out): returns the
+        intra-normalised flat descriptor [B, K*P]."""
+        hp = self.hp
+        features = ensure_float(features)
+        b, f, d = features.shape
+        g = hp.nextvlad_groups
+        k = hp.nextvlad_cluster_size
+        de = hp.nextvlad_expansion * d
+        p = de // g
+        mask = frame_mask(num_frames, f, jnp.float32)
+
+        xe = jnp.einsum(
+            "bfd,de->bfe",
+            features.astype(hp.dtype),
+            expand_w.astype(hp.dtype),
+            preferred_element_type=jnp.float32,
+        )  # [B, F, De]
+        alpha = nn.sigmoid(
+            jnp.einsum(
+                "bfe,eg->bfg",
+                xe.astype(hp.dtype),
+                attn_w.astype(hp.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            + attn_b
+        )  # [B, F, G]
+        act = jnp.einsum(
+            "bfe,ec->bfc",
+            xe.astype(hp.dtype),
+            cluster_w.astype(hp.dtype),
+            preferred_element_type=jnp.float32,
+        ).reshape(b, f, g, k)
+        assign = nn.softmax(act, axis=-1)
+        assign = assign * alpha[:, :, :, None]
+        assign = assign * mask[:, :, None, None]
+
+        xg = xe.reshape(b, f, g, p)
+        vlad = jnp.einsum(
+            "bfgk,bfgp->bkp",
+            assign.astype(hp.dtype),
+            xg.astype(hp.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        a_sum = jnp.sum(assign, axis=(1, 2))  # [B, K]
+        vlad = vlad - a_sum[:, :, None] * centers[None, :, :]
+
+        vlad = l2_normalize(vlad, axis=2)
+        return vlad.reshape(b, k * p)
