@@ -378,3 +378,28 @@ def test_polymorphic_export_with_pallas_dispatch_active(
         nf = rng.integers(1, 9, size=(b,)).astype(np.int32)
         values, _ = serve(f, nf)
         assert np.asarray(values).shape == (b, 4)
+
+    # Flagship: exercises the NetVLAD-aggregation and LSTM-recurrence
+    # dispatch guards (models/netvlad.py, models/rnn.py) on top.
+    hp = HP.replace(
+        max_frames=8, netvlad_cluster_size=4, netvlad_hidden_size=8,
+        lstm_cells=6, lstm_layers=1, moe_num_mixtures=2,
+    )
+    model = get_model("NetVladLstmModel", hp)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "sample": jax.random.PRNGKey(1)},
+        jnp.asarray(feats, jnp.float32), np.full((2,), 8, np.int32),
+        train=False,
+    )
+    export_dir = str(tmp_path / "poly_flagship")
+    export_model(
+        export_dir, "NetVladLstmModel", hp, variables["params"],
+        batch_stats=variables.get("batch_stats"),
+        batch_size=0, top_k=4,
+    )
+    serve, _ = load_serving(export_dir)
+    for b in (2, 3):
+        f = rng.integers(0, 256, size=(b, 8, D), dtype=np.uint8)
+        nf = rng.integers(1, 9, size=(b,)).astype(np.int32)
+        values, _ = serve(f, nf)
+        assert np.asarray(values).shape == (b, 4)
