@@ -28,7 +28,7 @@ f32.
 
 Serving-only (training BN needs cross-batch stats, so training keeps
 the jnp graph). Equivalence vs the jnp oracle is tested in interpret
-mode (tests/test_kernels.py) and on-chip
+mode (tests/test_nextvlad_kernel.py) and on-chip
 (scripts/validate_kernels_tpu.py).
 """
 
@@ -40,6 +40,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from yt8m_tpu.data.quantize import DEQUANT_BIAS, DEQUANT_SCALE
 
 
 def _round_up(x: int, m: int) -> int:
@@ -132,7 +134,10 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("groups", "interpret", "dtype")
+    jax.jit,
+    static_argnames=(
+        "groups", "deq_scale", "deq_bias", "interpret", "dtype"
+    ),
 )
 def nextvlad_aggregate(
     frames,      # [B, F, D] uint8 or float32
@@ -143,8 +148,8 @@ def nextvlad_aggregate(
     cluster_w,   # [De, G*K] f32
     centers,     # [K, P] f32, P = De // G
     groups: int,
-    deq_scale: float = 4.0 / 255.0,
-    deq_bias: float = 4.0 / 512.0 - 2.0,
+    deq_scale: float = DEQUANT_SCALE,
+    deq_bias: float = DEQUANT_BIAS,
     interpret: bool = False,
     dtype=jnp.bfloat16,  # matmul compute dtype (pass the model's hp.dtype)
 ):
@@ -262,8 +267,8 @@ def nextvlad_aggregate(
 def nextvlad_aggregate_reference(
     frames, num_frames, expand_w, attn_w, attn_b, cluster_w, centers,
     groups: int,
-    deq_scale: float = 4.0 / 255.0,
-    deq_bias: float = 4.0 / 512.0 - 2.0,
+    deq_scale: float = DEQUANT_SCALE,
+    deq_bias: float = DEQUANT_BIAS,
     dtype=jnp.bfloat16,
 ):
     """jnp oracle with the model's exact serving math
