@@ -375,3 +375,53 @@ def test_sparse_eval_step_matches_dense_eval_step():
     assert out_d["avg_hit_at_one"] == out_s["avg_hit_at_one"]
     assert out_d["avg_perr"] == pytest.approx(out_s["avg_perr"], abs=1e-12)
     np.testing.assert_allclose(out_d["aps"], out_s["aps"], atol=1e-12)
+
+
+def test_sparse_eval_step_nonfinite_tripwire():
+    """A diverged checkpoint (NaN params) must be COUNTED by the sparse
+    eval step's nonfinite_predictions reduce (masked rows excluded), and
+    a healthy state must report 0."""
+    import jax
+    import jax.numpy as jnp
+
+    from yt8m_tpu.models import get_model
+    from yt8m_tpu.models.hparams import ModelHParams
+    from yt8m_tpu.train import losses as losses_lib
+    from yt8m_tpu.train.state import init_train_state, make_optimizer
+    from yt8m_tpu.train.step import make_sparse_eval_step
+
+    rng = np.random.default_rng(5)
+    C, B = 20, 8
+    hp = ModelHParams(compute_dtype="float32", vocab_size=C, feature_dim=6)
+    model = get_model("LogisticModel", hp)
+    loss_obj = losses_lib.get_loss("CrossEntropyLoss")
+    batch = {
+        "features": rng.random((B, 6)).astype(np.float32),
+        "labels": (rng.random((B, C)) < 0.2).astype(np.float32),
+        "num_frames": np.ones((B,), np.int32),
+        "batch_mask": np.concatenate(
+            [np.ones(B - 2, np.float32), np.zeros(2, np.float32)]
+        ),
+    }
+    tx = make_optimizer(optimizer="AdamOptimizer", global_batch_size=B)
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), batch, tx, frame_level=False
+    )
+    key = jax.random.PRNGKey(1)
+    step = make_sparse_eval_step(model, loss_obj, 8)
+
+    healthy = jax.device_get(step(state, batch, key))
+    assert int(healthy["nonfinite_predictions"]) == 0
+
+    nan_state = state.replace(
+        params=jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, jnp.nan), state.params
+        )
+    )
+    sick = jax.device_get(step(nan_state, batch, key))
+    # every prediction of every UNMASKED row is NaN
+    assert int(sick["nonfinite_predictions"]) == (B - 2) * C
+    # indices remain valid in-range (exact_topk sanitisation contract
+    # holds on the lax.top_k fallback too via take_along_axis bounds)
+    idx = np.asarray(sick["topk_indices"])
+    assert idx.min() >= 0 and idx.max() < C

@@ -71,12 +71,15 @@ def evaluate_checkpoint(
 
     restored = state is not None
     n_videos = 0
+    nonfinite = 0
     pending = None
 
     def _drain(p):
+        nonlocal nonfinite
         outs, labels, mask = p
         if sparse_k > 0:
             h = jax.device_get(outs)
+            nonfinite += int(h["nonfinite_predictions"])
             metrics.accumulate_topk(
                 np.asarray(h["topk_values"]),
                 np.asarray(h["topk_indices"]),
@@ -88,8 +91,10 @@ def evaluate_checkpoint(
             )
         else:
             preds_d, loss_d = outs
+            preds_np = np.asarray(jax.device_get(preds_d))
+            nonfinite += int(np.sum(~np.isfinite(preds_np[mask > 0])))
             metrics.accumulate(
-                np.asarray(jax.device_get(preds_d)),
+                preds_np,
                 labels,
                 np.asarray(jax.device_get(loss_d)),
                 mask,
@@ -128,6 +133,16 @@ def evaluate_checkpoint(
     out = metrics.get()
     out["videos_per_sec"] = n_videos / max(time.time() - t0, 1e-9)
     out["step"] = step
+    out["nonfinite_predictions"] = nonfinite
+    if nonfinite:
+        # A diverged checkpoint (cf. --fail_on_nan_loss on the train
+        # side): the metrics below are valid numbers but meaningless.
+        log.warning(
+            "%d non-finite prediction values encountered during this "
+            "evaluation — the checkpoint has likely diverged and the "
+            "metrics are not meaningful",
+            nonfinite,
+        )
     mean_ap = float(np.mean(out["aps"])) if out["aps"] else 0.0
     if cfg.train_dir and not ensemble_mode:
         from yt8m_tpu.utils.summary import SummaryWriter

@@ -189,6 +189,14 @@ def make_sparse_eval_step(model, loss_obj: BaseLoss, k: int):
             "class_positives": (pos & row_keep).sum(axis=0).astype(
                 jnp.int32
             ),
+            # Diverged-checkpoint tripwire: with the dense [B, C]
+            # predictions never reaching the host, a NaN/inf forward
+            # would otherwise degrade to garbage-but-bounded metrics
+            # silently (exact_topk's sanitisation contract). One
+            # masked reduce; the eval loop warns if any batch trips.
+            "nonfinite_predictions": jnp.sum(
+                (~jnp.isfinite(preds)) & row_keep, dtype=jnp.int32
+            ),
         }
 
     return jax.jit(eval_step)
