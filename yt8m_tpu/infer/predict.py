@@ -132,14 +132,21 @@ def inference(config: InferenceConfig, state=None) -> dict:
 
     restored = state is not None
     n_videos, n_chunks = 0, 0
+    nonfinite = 0
     pending = None
 
     def _drain(p, n_chunks):
+        nonlocal nonfinite
         topk_out, dense_out, sparse_out, ids_all, keep = p
         ids = [v for v, m in zip(ids_all, keep) if m]
         if topk_out is not None:
             values = np.asarray(jax.device_get(topk_out[0]))[keep]
             indices = np.asarray(jax.device_get(topk_out[1]))[keep]
+            # Diverged-checkpoint tripwire (cf. eval/loop.py): the CSV
+            # would otherwise ship NaN confidences (or the top-k
+            # kernel's -3e38 sentinel) without a word.
+            nonfinite += int(np.sum(~(np.isfinite(values)
+                                      & (values > -3.0e38))))
             f.write(format_lines_text(ids, values, indices))
         if dense_out is not None or sparse_out is not None:
             path = os.path.join(
@@ -214,7 +221,18 @@ def inference(config: InferenceConfig, state=None) -> dict:
             f.close()
 
     dt = max(time.time() - t0, 1e-9)
-    stats = {"num_videos": n_videos, "videos_per_sec": n_videos / dt}
+    stats = {
+        "num_videos": n_videos,
+        "videos_per_sec": n_videos / dt,
+        "nonfinite_predictions": nonfinite,
+    }
+    if nonfinite:
+        log.warning(
+            "%d non-finite top-k confidence values written — the "
+            "checkpoint has likely diverged and the output is not "
+            "meaningful",
+            nonfinite,
+        )
     log.info(
         "inference done: %d videos at %.1f videos/sec -> %s",
         n_videos, stats["videos_per_sec"], out_file or
