@@ -5,21 +5,22 @@ The r3 fused SERVING kernel (kernels/nextvlad.py) removed the XLA
 path's HBM blowup at inference (xe [B, F, lambda*D] ~1.4 GB f32 at
 B=512 plus two [B, F, G, K] tensors). TRAINING still runs the jnp
 graph (cross-batch BN) and pays those intermediates in the forward AND
-their re-reads in the backward — but NeXtVLAD's param count (~45M at
-the reference config) is ~9x smaller than the NetVLAD family's, so the
-Adam-HBM argument that made the fused NetVLAD train core a wash (r2,
-BENCH_NOTES) does not transfer. This profile decides whether a
-custom-VJP fused train core (flash-style remat, netvlad_train.py
-pattern) is worth building.
+their re-reads in the backward — but NeXtVLAD's param count (68M at
+the reference config, printed by this script) is ~6x smaller than the
+flagship NetVLAD family's 411M, so the Adam-HBM argument that made the
+fused NetVLAD train core a wash (r2, BENCH_NOTES) does not transfer.
+This profile decides whether a custom-VJP fused train core
+(flash-style remat, netvlad_train.py pattern) is worth building.
 
   stage                      what it isolates
   -----------------------    ------------------------------------------
   fwd (loss_fn)              full forward incl. head + loss
   value_and_grad             fwd+bwd; bwd = this - fwd
-  adam update (f32/bf16 mu)  optimizer HBM pass over ~45M params
-  FULL train step            make_train_step (donated), the headline
-  aggregation fwd / v&g      the jnp aggregation body alone
-  head-on-frozen-vlad v&g    everything after the aggregation
+  adam update (f32 mu)       optimizer HBM pass over the 68M params
+  FULL train step            make_train_step (donated), f32 + bf16 mu
+  aggregation fwd / v&g      the aggregation math alone (jnp oracle at
+                             model shapes, grads wrt all five weights)
+                             = the ceiling a fused train core attacks
 
 Each stage is its own jit, synced with device_get. Tunnel variance
 +-4-7%: compare within one run only.
@@ -158,6 +159,53 @@ def main():
                 )),
                 state2,
                 label="adam update alone (f32 mu)",
+            )
+
+            # Aggregation isolation: the jnp oracle at model shapes
+            # (kernels/nextvlad.py reference — the exact math the model
+            # runs pre-BN), grads wrt all five aggregation weights.
+            # This is the ceiling a fused custom-VJP train core attacks;
+            # everything else (BN, hidden FC, head, Adam) it keeps.
+            from yt8m_tpu.kernels.nextvlad import (
+                nextvlad_aggregate_reference,
+            )
+
+            g, lam = hp.nextvlad_groups, hp.nextvlad_expansion
+            de = lam * D
+            agg_w = {
+                "expand_w": rng.normal(0, 0.05, (D, de)).astype(
+                    np.float32
+                ),
+                "attn_w": rng.normal(0, 0.05, (de, g)).astype(
+                    np.float32
+                ),
+                "attn_b": rng.normal(0, 0.05, (g,)).astype(np.float32),
+                "cluster_w": rng.normal(
+                    0, 0.05, (de, g * hp.nextvlad_cluster_size)
+                ).astype(np.float32),
+                "centers": rng.normal(
+                    0, 0.05, (hp.nextvlad_cluster_size, de // g)
+                ).astype(np.float32),
+            }
+            agg_w = jax.device_put(agg_w)
+
+            def agg_fwd(w, feats, nf):
+                return jnp.sum(
+                    nextvlad_aggregate_reference(
+                        feats, nf, w["expand_w"], w["attn_w"],
+                        w["attn_b"], w["cluster_w"], w["centers"],
+                        groups=g,
+                    )
+                )
+
+            timed(
+                jax.jit(agg_fwd), agg_w, feats_d, nf_d,
+                label="aggregation fwd (jnp oracle)",
+            )
+            timed(
+                jax.jit(jax.value_and_grad(agg_fwd)),
+                agg_w, feats_d, nf_d,
+                label="aggregation value_and_grad",
             )
         del state, state2, step_fn
 

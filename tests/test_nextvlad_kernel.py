@@ -63,14 +63,34 @@ def test_nextvlad_aggregate_matches_reference(dtype, d, lam, g, k):
     got_np, want_np = np.asarray(got), np.asarray(want)
     # Post-normalisation rows with a TINY pre-norm magnitude amplify
     # bf16 reduction-order noise into visible direction shifts (seen at
-    # P=2); for rows exceeding the elementwise tolerance require
-    # near-parallel unit vectors instead.
+    # P=2). ONLY such rows may fall back to an angular tolerance; rows
+    # with a healthy pre-norm magnitude must match elementwise, so a
+    # genuine kernel regression (e.g. a wrong group-slice offset) still
+    # fails.
+    prenorm = np.linalg.norm(
+        np.asarray(
+            nextvlad_aggregate_reference(
+                jnp.asarray(frames), jnp.asarray(num_frames),
+                w["expand_w"], w["attn_w"], w["attn_b"],
+                w["cluster_w"], w["centers"], groups=g,
+                normalize=False,
+            )
+        ),
+        axis=2,
+    )
+    tiny = prenorm < 0.05
     rowbad = np.abs(got_np - want_np).max(axis=2) > 5e-3
+    assert not (rowbad & ~tiny).any(), (
+        f"{(rowbad & ~tiny).sum()} healthy-magnitude rows diverge "
+        "elementwise"
+    )
     if rowbad.any():
-        cos = np.sum(got_np * want_np, axis=2)
-        assert np.all(cos[rowbad] > 0.99), (
-            f"{rowbad.sum()} rows diverge beyond angular tolerance"
-        )
+        # want is unit-norm on these rows (guard before using raw dot
+        # as cosine), and the directions must stay near-parallel.
+        wn = np.linalg.norm(want_np[rowbad], axis=-1)
+        np.testing.assert_allclose(wn, 1.0, atol=1e-4)
+        cos = np.sum(got_np[rowbad] * want_np[rowbad], axis=-1)
+        assert np.all(cos > 0.99), "tiny rows diverge beyond angle"
     np.testing.assert_allclose(
         got_np[~rowbad], want_np[~rowbad], atol=5e-3
     )

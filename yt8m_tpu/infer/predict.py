@@ -139,14 +139,19 @@ def inference(config: InferenceConfig, state=None) -> dict:
         nonlocal nonfinite
         topk_out, dense_out, sparse_out, ids_all, keep = p
         ids = [v for v, m in zip(ids_all, keep) if m]
+        from yt8m_tpu.kernels.topk import TOPK_NEG
+
+        def _count_nonfinite(arr):
+            # Diverged-checkpoint tripwire (cf. eval/loop.py): NaN/inf
+            # confidences — or the top-k kernel's sanitisation sentinel
+            # (exact_topk reports exactly TOPK_NEG for NaN/-inf inputs)
+            # — must not ship silently.
+            return int(np.sum(~(np.isfinite(arr) & (arr > TOPK_NEG))))
+
         if topk_out is not None:
             values = np.asarray(jax.device_get(topk_out[0]))[keep]
             indices = np.asarray(jax.device_get(topk_out[1]))[keep]
-            # Diverged-checkpoint tripwire (cf. eval/loop.py): the CSV
-            # would otherwise ship NaN confidences (or the top-k
-            # kernel's -3e38 sentinel) without a word.
-            nonfinite += int(np.sum(~(np.isfinite(values)
-                                      & (values > -3.0e38))))
+            nonfinite += _count_nonfinite(values)
             f.write(format_lines_text(ids, values, indices))
         if dense_out is not None or sparse_out is not None:
             path = os.path.join(
@@ -159,12 +164,14 @@ def inference(config: InferenceConfig, state=None) -> dict:
             )
             if dense_out is not None:
                 dense = np.asarray(jax.device_get(dense_out))[keep]
+                nonfinite += _count_nonfinite(dense)
                 np.savez_compressed(
                     path, ids=ids_arr, predictions=dense.astype(dump_dtype)
                 )
             else:
                 values = np.asarray(jax.device_get(sparse_out[0]))[keep]
                 indices = np.asarray(jax.device_get(sparse_out[1]))[keep]
+                nonfinite += _count_nonfinite(values)
                 np.savez_compressed(
                     path,
                     ids=ids_arr,
@@ -228,9 +235,9 @@ def inference(config: InferenceConfig, state=None) -> dict:
     }
     if nonfinite:
         log.warning(
-            "%d non-finite top-k confidence values written — the "
-            "checkpoint has likely diverged and the output is not "
-            "meaningful",
+            "%d non-finite prediction values written (CSV and/or "
+            "probability dumps) — the checkpoint has likely diverged "
+            "and the output is not meaningful",
             nonfinite,
         )
     log.info(

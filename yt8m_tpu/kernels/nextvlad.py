@@ -270,10 +270,14 @@ def nextvlad_aggregate_reference(
     deq_scale: float = DEQUANT_SCALE,
     deq_bias: float = DEQUANT_BIAS,
     dtype=jnp.bfloat16,
+    normalize: bool = True,
 ):
     """jnp oracle with the model's exact serving math
     (models/nextvlad.py lines 58-116: bf16 matmuls, f32 softmax,
-    gradient-safe intra-norm)."""
+    gradient-safe intra-norm). normalize=False returns the PRE-norm
+    descriptors — the equivalence tests use the row magnitudes to
+    decide which rows may legitimately differ in direction (bf16
+    reduction-order noise amplified by normalising a tiny row)."""
     b, f, d = frames.shape
     g = groups
     de = expand_w.shape[1]
@@ -310,5 +314,7 @@ def nextvlad_aggregate_reference(
     )
     a_sum = jnp.sum(assign, axis=(1, 2))
     vlad = vlad - a_sum[:, :, None] * centers[None, :, :]
+    if not normalize:
+        return vlad
     sum_sq = jnp.sum(jnp.square(vlad), axis=2, keepdims=True)
     return vlad / jnp.sqrt(jnp.maximum(sum_sq, 1e-12))

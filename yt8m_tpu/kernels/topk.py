@@ -30,6 +30,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -3.0e38  # below any f32 input we serve (probabilities/logits)
+# Public alias: exact_topk reports exactly this value for sanitised
+# NaN / <=-3e38 inputs; consumers (infer/predict.py tripwire) compare
+# against it rather than re-hardcoding the literal.
+TOPK_NEG = _NEG
 
 
 def _kernel(x_ref, vals_ref, idx_ref, *, k, kpad):
