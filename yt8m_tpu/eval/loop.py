@@ -63,9 +63,11 @@ def evaluate_checkpoint(
     if sparse_k > 0:
         # On-device sparsification: only [B, K] triplets cross back.
         sparse_k = max(sparse_k, cfg.top_k)
-        eval_step = make_sparse_eval_step(model, loss_obj, sparse_k)
+        eval_step = make_sparse_eval_step(
+            model, loss_obj, sparse_k, mesh=mesh
+        )
     else:
-        eval_step = make_eval_step(model, loss_obj)
+        eval_step = make_eval_step(model, loss_obj, mesh=mesh)
     metrics = EvaluationMetrics(cfg.num_classes, top_k=cfg.top_k)
     rng = jax.random.PRNGKey(cfg.seed)
 

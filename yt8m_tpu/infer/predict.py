@@ -101,7 +101,7 @@ def inference(config: InferenceConfig, state=None) -> dict:
         pad_final_batch=True,
     )
 
-    topk_step = make_topk_predict_step(model, cfg.top_k)
+    topk_step = make_topk_predict_step(model, cfg.top_k, mesh=mesh)
     dump_topk = int(cfg.output_probabilities_topk or 0)
     dense_step = None
     sparse_step = None
@@ -110,9 +110,11 @@ def inference(config: InferenceConfig, state=None) -> dict:
             # Fork-style sparse pre-ensemble storage: top-N (value, index)
             # pairs per video at full f32 precision (~1% of the dense size
             # at N=50 vs 4716 classes); missing classes densify to 0.
-            sparse_step = make_topk_predict_step(model, dump_topk)
+            sparse_step = make_topk_predict_step(
+                model, dump_topk, mesh=mesh
+            )
         else:
-            dense_step = make_predict_step(model)
+            dense_step = make_predict_step(model, mesh=mesh)
     rng = jax.random.PRNGKey(cfg.seed)
 
     out_file = cfg.output_file

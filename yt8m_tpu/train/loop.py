@@ -94,6 +94,33 @@ class Trainer:
                 is_frame_level_model(cfg.model),
                 cfg.frame_features,
             )
+        self.mesh = mesh_lib.make_mesh(cfg.num_devices, cfg.model_parallel)
+        if self.mesh.size > 1 and jax.default_backend() == "tpu":
+            # Mosaic kernels cannot be auto-partitioned by GSPMD — a
+            # multi-device jit containing one fails at lowering
+            # (jax/_src/tpu_custom_call.py). The SERVING/eval steps run
+            # under shard_map (train/step.py :: _is_manual), but the
+            # TRAIN step carries TP/FSDP param shardings that the
+            # Pallas train kernels (custom-VJP recurrences, fused VLAD
+            # core) do not partition manually yet — fall back to their
+            # scan/XLA paths on multi-chip training. Single-chip
+            # training keeps the kernels (the measured ~1.9x
+            # recurrences, BENCH_NOTES).
+            overrides = {}
+            if self.hparams.lstm_use_pallas:
+                overrides["lstm_use_pallas"] = False
+            if self.hparams.netvlad_fused_train:
+                overrides["netvlad_fused_train"] = False
+            if overrides:
+                log.warning(
+                    "multi-device mesh (%d chips): Pallas TRAIN kernels "
+                    "fall back to their XLA paths (%s) — GSPMD cannot "
+                    "partition Mosaic calls and the train step is not "
+                    "shard_map'd; serving/eval keep their kernels",
+                    self.mesh.size,
+                    ", ".join(sorted(overrides)),
+                )
+                self.hparams = self.hparams.replace(**overrides)
         self.model = get_model(cfg.model, self.hparams)
         loss_kw = (
             {"alpha": cfg.distill_alpha}
@@ -101,7 +128,6 @@ class Trainer:
             else {}
         )
         self.loss_obj = losses_lib.get_loss(cfg.label_loss, **loss_kw)
-        self.mesh = mesh_lib.make_mesh(cfg.num_devices, cfg.model_parallel)
 
         if data_iterator is None:
             rc = reader_config_from(cfg)

@@ -23,6 +23,46 @@ def _prepare_features(feats):
     return feats
 
 
+def _is_manual(mesh) -> bool:
+    """True when a serving/eval step must run under shard_map.
+
+    Mosaic (Pallas TPU) kernels cannot be auto-partitioned by GSPMD: a
+    multi-device jit containing one raises NotImplementedError at
+    lowering ("Please wrap the call in a shard_map" —
+    jax/_src/tpu_custom_call.py :: _tpu_custom_call_lowering). Serving
+    and eval are embarrassingly data-parallel (every model reduction is
+    per-video), so on a multi-device mesh the whole step body runs
+    MANUAL: batch split on the data axis, state/rng replicated across
+    every axis, and the two cross-batch reduces in the sparse eval step
+    psum over the data axis. Single-device meshes (and mesh=None) keep
+    the plain jit — bitwise-identical behavior and no extra lowering.
+    """
+    return mesh is not None and mesh.size > 1
+
+
+def _serving_shard_map(body, mesh, out_specs):
+    """shard_map a serving/eval step body over (state, batch, rng)."""
+    from jax.sharding import PartitionSpec as P
+
+    from yt8m_tpu.parallel.mesh import DATA_AXIS
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        # state replicated (pytree-prefix spec), batch dim-0 on 'data'
+        # (replicated across 'model' — per-video compute is identical
+        # on every model-axis device), rng replicated.
+        in_specs=(P(), P(DATA_AXIS), P()),
+        out_specs=out_specs,
+        # pallas_call emits ShapeDtypeStructs without vma annotations,
+        # which jax 0.9's varying-manual-axes checker rejects inside
+        # shard_map. The replication facts here are simple and enforced
+        # by construction: per-video outputs vary over 'data' only, and
+        # the cross-batch leaves are psum'd over 'data' before return.
+        check_vma=False,
+    )
+
+
 def _masked_mean(per_example, mask):
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(per_example * mask) / denom
@@ -120,8 +160,10 @@ def make_train_step(
     return jax.jit(train_step)
 
 
-def make_eval_step(model, loss_obj: BaseLoss):
-    """eval_step(state, batch, rng) -> (predictions, per_example_loss)."""
+def make_eval_step(model, loss_obj: BaseLoss, mesh=None):
+    """eval_step(state, batch, rng) -> (predictions, per_example_loss).
+
+    Pass the mesh on multi-device runs (see _is_manual)."""
 
     def eval_step(state, batch, rng):
         feats = _prepare_features(batch["features"])
@@ -139,10 +181,20 @@ def make_eval_step(model, loss_obj: BaseLoss):
         per_ex = loss_obj.calculate_loss(out["predictions"], batch["labels"])
         return out["predictions"], per_ex
 
-    return jax.jit(eval_step)
+    if not _is_manual(mesh):
+        return jax.jit(eval_step)
+    from jax.sharding import PartitionSpec as P
+
+    from yt8m_tpu.parallel.mesh import DATA_AXIS
+
+    return jax.jit(
+        _serving_shard_map(
+            eval_step, mesh, (P(DATA_AXIS), P(DATA_AXIS))
+        )
+    )
 
 
-def make_sparse_eval_step(model, loss_obj: BaseLoss, k: int):
+def make_sparse_eval_step(model, loss_obj: BaseLoss, k: int, mesh=None):
     """Eval step with ON-DEVICE metric sparsification.
 
     Instead of shipping dense [B, C] predictions to the host (18.9 KB/video
@@ -151,7 +203,12 @@ def make_sparse_eval_step(model, loss_obj: BaseLoss, k: int):
     counts and the padded-row-masked per-class positive totals — everything
     EvaluationMetrics needs, at ~0.8 KB/video for K=64. Host metric cost
     drops with it (no [B, C] argpartition per batch).
+
+    Pass the mesh on multi-device runs (see _is_manual): the per-video
+    outputs shard on 'data'; class_positives / nonfinite_predictions are
+    psum'd so the host sees the same totals as the single-device step.
     """
+    manual = _is_manual(mesh)
 
     def eval_step(state, batch, rng):
         feats = _prepare_features(batch["features"])
@@ -180,30 +237,52 @@ def make_sparse_eval_step(model, loss_obj: BaseLoss, k: int):
         lab_k = jnp.take_along_axis(labels, idx, axis=1)
         pos = labels > 0
         row_keep = (batch["batch_mask"] > 0)[:, None]
+        class_positives = (pos & row_keep).sum(axis=0).astype(jnp.int32)
+        # Diverged-checkpoint tripwire: with the dense [B, C]
+        # predictions never reaching the host, a NaN/inf forward
+        # would otherwise degrade to garbage-but-bounded metrics
+        # silently (exact_topk's sanitisation contract). One
+        # masked reduce; the eval loop warns if any batch trips.
+        nonfinite = jnp.sum(
+            (~jnp.isfinite(preds)) & row_keep, dtype=jnp.int32
+        )
+        if manual:
+            from yt8m_tpu.parallel.mesh import DATA_AXIS
+
+            class_positives = jax.lax.psum(class_positives, DATA_AXIS)
+            nonfinite = jax.lax.psum(nonfinite, DATA_AXIS)
         return {
             "loss": per_ex,
             "topk_values": vals,
             "topk_indices": idx.astype(jnp.int32),
             "topk_labels": lab_k.astype(jnp.float32),
             "labels_per_video": pos.sum(axis=1).astype(jnp.int32),
-            "class_positives": (pos & row_keep).sum(axis=0).astype(
-                jnp.int32
-            ),
-            # Diverged-checkpoint tripwire: with the dense [B, C]
-            # predictions never reaching the host, a NaN/inf forward
-            # would otherwise degrade to garbage-but-bounded metrics
-            # silently (exact_topk's sanitisation contract). One
-            # masked reduce; the eval loop warns if any batch trips.
-            "nonfinite_predictions": jnp.sum(
-                (~jnp.isfinite(preds)) & row_keep, dtype=jnp.int32
-            ),
+            "class_positives": class_positives,
+            "nonfinite_predictions": nonfinite,
         }
 
-    return jax.jit(eval_step)
+    if not manual:
+        return jax.jit(eval_step)
+    from jax.sharding import PartitionSpec as P
+
+    from yt8m_tpu.parallel.mesh import DATA_AXIS
+
+    out_specs = {
+        "loss": P(DATA_AXIS),
+        "topk_values": P(DATA_AXIS),
+        "topk_indices": P(DATA_AXIS),
+        "topk_labels": P(DATA_AXIS),
+        "labels_per_video": P(DATA_AXIS),
+        "class_positives": P(),
+        "nonfinite_predictions": P(),
+    }
+    return jax.jit(_serving_shard_map(eval_step, mesh, out_specs))
 
 
-def make_predict_step(model):
-    """predict_step(state, batch, rng) -> predictions [B, C] float32."""
+def make_predict_step(model, mesh=None):
+    """predict_step(state, batch, rng) -> predictions [B, C] float32.
+
+    Pass the mesh on multi-device runs (see _is_manual)."""
 
     def predict_step(state, batch, rng):
         feats = _prepare_features(batch["features"])
@@ -219,14 +298,23 @@ def make_predict_step(model):
         )
         return out["predictions"]
 
-    return jax.jit(predict_step)
+    if not _is_manual(mesh):
+        return jax.jit(predict_step)
+    from jax.sharding import PartitionSpec as P
+
+    from yt8m_tpu.parallel.mesh import DATA_AXIS
+
+    return jax.jit(
+        _serving_shard_map(predict_step, mesh, P(DATA_AXIS))
+    )
 
 
-def make_topk_predict_step(model, top_k: int = 20):
+def make_topk_predict_step(model, top_k: int = 20, mesh=None):
     """predict -> (top-k values [B,k] f32, indices [B,k] i32), on device.
 
     Keeping top-k on device shrinks device->host traffic from [B, 4716]
     floats to [B, 2k] — part of the >=10k videos/sec/chip inference budget.
+    Pass the mesh on multi-device runs (see _is_manual).
     """
 
     def step(state, batch, rng):
@@ -250,4 +338,12 @@ def make_topk_predict_step(model, top_k: int = 20):
         k = min(top_k, out["predictions"].shape[-1])
         return serving_topk(out["predictions"], k)
 
-    return jax.jit(step)
+    if not _is_manual(mesh):
+        return jax.jit(step)
+    from jax.sharding import PartitionSpec as P
+
+    from yt8m_tpu.parallel.mesh import DATA_AXIS
+
+    return jax.jit(
+        _serving_shard_map(step, mesh, (P(DATA_AXIS), P(DATA_AXIS)))
+    )
