@@ -36,6 +36,12 @@ def _is_manual(mesh) -> bool:
     every axis, and the two cross-batch reduces in the sparse eval step
     psum over the data axis. Single-device meshes (and mesh=None) keep
     the plain jit — bitwise-identical behavior and no extra lowering.
+
+    Semantics note: the replicated rng key means frame-SAMPLING models
+    (DBoF-family inference with iterations < max_frames) draw their
+    sample indices per shard rather than once globally — the same
+    distribution, different draws than the unwrapped step. Non-sampling
+    models are bitwise-identical (test_manual_serving.py).
     """
     return mesh is not None and mesh.size > 1
 
