@@ -95,6 +95,9 @@ def test_topk_step_shard_map_with_model_axis(monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(plain[0]), np.asarray(manual[0])
     )
+    np.testing.assert_array_equal(
+        np.asarray(plain[1]), np.asarray(manual[1])
+    )
 
 
 def test_sparse_eval_step_shard_map_matches_plain(monkeypatch):

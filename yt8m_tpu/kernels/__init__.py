@@ -22,6 +22,17 @@ def pallas_interpret_forced() -> bool:
     return os.environ.get("YT8M_PALLAS_INTERPRET", "0") == "1"
 
 
+# ModelHParams flags that gate Pallas kernels on the TRAINING path
+# (custom-VJP recurrences shared by the LSTM/GRU families; the opt-in
+# fused VLAD train core). GSPMD cannot partition Mosaic kernels, and
+# the train step is not shard_map'd (TP/FSDP param shardings need
+# manual collectives), so the Trainer forces these OFF for the training
+# model on a multi-device TPU mesh. Any future train-path kernel MUST
+# register its gate flag here or it will crash multi-chip training at
+# lowering (jax tpu_custom_call NotImplementedError).
+TRAIN_PATH_KERNEL_FLAGS = ("lstm_use_pallas", "netvlad_fused_train")
+
+
 def static_shape(*arrays) -> bool:
     """True when every dim of every array is a concrete Python int.
 

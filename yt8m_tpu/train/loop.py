@@ -95,33 +95,42 @@ class Trainer:
                 cfg.frame_features,
             )
         self.mesh = mesh_lib.make_mesh(cfg.num_devices, cfg.model_parallel)
+        train_hparams = self.hparams
         if self.mesh.size > 1 and jax.default_backend() == "tpu":
             # Mosaic kernels cannot be auto-partitioned by GSPMD — a
             # multi-device jit containing one fails at lowering
             # (jax/_src/tpu_custom_call.py). The SERVING/eval steps run
             # under shard_map (train/step.py :: _is_manual), but the
             # TRAIN step carries TP/FSDP param shardings that the
-            # Pallas train kernels (custom-VJP recurrences, fused VLAD
-            # core) do not partition manually yet — fall back to their
-            # scan/XLA paths on multi-chip training. Single-chip
-            # training keeps the kernels (the measured ~1.9x
-            # recurrences, BENCH_NOTES).
-            overrides = {}
-            if self.hparams.lstm_use_pallas:
-                overrides["lstm_use_pallas"] = False
-            if self.hparams.netvlad_fused_train:
-                overrides["netvlad_fused_train"] = False
+            # Pallas train kernels do not partition manually yet — the
+            # TRAINING model falls back to their scan/XLA paths.
+            # Single-chip training keeps the kernels (the measured
+            # ~1.9x recurrences, BENCH_NOTES). The override is scoped
+            # to the train model: self.hparams — what model_flags.json
+            # and export meta.json persist — keeps the user's config,
+            # so serving rebuilds get their fused kernels back.
+            from yt8m_tpu.kernels import TRAIN_PATH_KERNEL_FLAGS
+
+            overrides = {
+                f: False
+                for f in TRAIN_PATH_KERNEL_FLAGS
+                if getattr(self.hparams, f)
+            }
             if overrides:
-                log.warning(
-                    "multi-device mesh (%d chips): Pallas TRAIN kernels "
-                    "fall back to their XLA paths (%s) — GSPMD cannot "
-                    "partition Mosaic calls and the train step is not "
-                    "shard_map'd; serving/eval keep their kernels",
-                    self.mesh.size,
-                    ", ".join(sorted(overrides)),
-                )
-                self.hparams = self.hparams.replace(**overrides)
-        self.model = get_model(cfg.model, self.hparams)
+                train_hparams = self.hparams.replace(**overrides)
+                if any(t in cfg.model for t in ("Lstm", "Gru", "Vlad")):
+                    # Only RNN/VLAD families dispatch these kernels —
+                    # don't alarm e.g. a DBoF run.
+                    log.warning(
+                        "multi-device mesh (%d chips): Pallas TRAIN "
+                        "kernels fall back to their XLA paths (%s) — "
+                        "GSPMD cannot partition Mosaic calls and the "
+                        "train step is not shard_map'd; serving/eval "
+                        "keep their kernels",
+                        self.mesh.size,
+                        ", ".join(sorted(overrides)),
+                    )
+        self.model = get_model(cfg.model, train_hparams)
         loss_kw = (
             {"alpha": cfg.distill_alpha}
             if cfg.label_loss == "MixedCrossEntropyDistillLoss"

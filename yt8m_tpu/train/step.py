@@ -46,26 +46,41 @@ def _is_manual(mesh) -> bool:
     return mesh is not None and mesh.size > 1
 
 
-def _serving_shard_map(body, mesh, out_specs):
-    """shard_map a serving/eval step body over (state, batch, rng)."""
+def _jit_serving(body, mesh, out_specs):
+    """jit a serving/eval step body, shard_map'd when the mesh is
+    multi-device (see _is_manual). out_specs may be a single spec or a
+    pytree matching the body's output; 'data' marks the per-video dim.
+    """
+    if not _is_manual(mesh):
+        return jax.jit(body)
     from jax.sharding import PartitionSpec as P
 
     from yt8m_tpu.parallel.mesh import DATA_AXIS
 
-    return jax.shard_map(
-        body,
-        mesh=mesh,
-        # state replicated (pytree-prefix spec), batch dim-0 on 'data'
-        # (replicated across 'model' — per-video compute is identical
-        # on every model-axis device), rng replicated.
-        in_specs=(P(), P(DATA_AXIS), P()),
-        out_specs=out_specs,
-        # pallas_call emits ShapeDtypeStructs without vma annotations,
-        # which jax 0.9's varying-manual-axes checker rejects inside
-        # shard_map. The replication facts here are simple and enforced
-        # by construction: per-video outputs vary over 'data' only, and
-        # the cross-batch leaves are psum'd over 'data' before return.
-        check_vma=False,
+    def _resolve(spec):
+        return P(DATA_AXIS) if spec == "data" else P()
+
+    out = jax.tree_util.tree_map(
+        _resolve, out_specs,
+        is_leaf=lambda x: isinstance(x, str),
+    )
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            # state replicated (pytree-prefix spec), batch dim-0 on
+            # 'data' (replicated across 'model' — per-video compute is
+            # identical on every model-axis device), rng replicated.
+            in_specs=(P(), P(DATA_AXIS), P()),
+            out_specs=out,
+            # pallas_call emits ShapeDtypeStructs without vma
+            # annotations, which jax 0.9's varying-manual-axes checker
+            # rejects inside shard_map. The replication facts here are
+            # simple and enforced by construction: per-video outputs
+            # vary over 'data' only, and the cross-batch leaves are
+            # psum'd over 'data' before return.
+            check_vma=False,
+        )
     )
 
 
@@ -187,17 +202,7 @@ def make_eval_step(model, loss_obj: BaseLoss, mesh=None):
         per_ex = loss_obj.calculate_loss(out["predictions"], batch["labels"])
         return out["predictions"], per_ex
 
-    if not _is_manual(mesh):
-        return jax.jit(eval_step)
-    from jax.sharding import PartitionSpec as P
-
-    from yt8m_tpu.parallel.mesh import DATA_AXIS
-
-    return jax.jit(
-        _serving_shard_map(
-            eval_step, mesh, (P(DATA_AXIS), P(DATA_AXIS))
-        )
-    )
+    return _jit_serving(eval_step, mesh, ("data", "data"))
 
 
 def make_sparse_eval_step(model, loss_obj: BaseLoss, k: int, mesh=None):
@@ -267,22 +272,19 @@ def make_sparse_eval_step(model, loss_obj: BaseLoss, k: int, mesh=None):
             "nonfinite_predictions": nonfinite,
         }
 
-    if not manual:
-        return jax.jit(eval_step)
-    from jax.sharding import PartitionSpec as P
-
-    from yt8m_tpu.parallel.mesh import DATA_AXIS
-
-    out_specs = {
-        "loss": P(DATA_AXIS),
-        "topk_values": P(DATA_AXIS),
-        "topk_indices": P(DATA_AXIS),
-        "topk_labels": P(DATA_AXIS),
-        "labels_per_video": P(DATA_AXIS),
-        "class_positives": P(),
-        "nonfinite_predictions": P(),
-    }
-    return jax.jit(_serving_shard_map(eval_step, mesh, out_specs))
+    return _jit_serving(
+        eval_step,
+        mesh,
+        {
+            "loss": "data",
+            "topk_values": "data",
+            "topk_indices": "data",
+            "topk_labels": "data",
+            "labels_per_video": "data",
+            "class_positives": "replicated",
+            "nonfinite_predictions": "replicated",
+        },
+    )
 
 
 def make_predict_step(model, mesh=None):
@@ -304,15 +306,7 @@ def make_predict_step(model, mesh=None):
         )
         return out["predictions"]
 
-    if not _is_manual(mesh):
-        return jax.jit(predict_step)
-    from jax.sharding import PartitionSpec as P
-
-    from yt8m_tpu.parallel.mesh import DATA_AXIS
-
-    return jax.jit(
-        _serving_shard_map(predict_step, mesh, P(DATA_AXIS))
-    )
+    return _jit_serving(predict_step, mesh, "data")
 
 
 def make_topk_predict_step(model, top_k: int = 20, mesh=None):
@@ -344,12 +338,4 @@ def make_topk_predict_step(model, top_k: int = 20, mesh=None):
         k = min(top_k, out["predictions"].shape[-1])
         return serving_topk(out["predictions"], k)
 
-    if not _is_manual(mesh):
-        return jax.jit(step)
-    from jax.sharding import PartitionSpec as P
-
-    from yt8m_tpu.parallel.mesh import DATA_AXIS
-
-    return jax.jit(
-        _serving_shard_map(step, mesh, (P(DATA_AXIS), P(DATA_AXIS)))
-    )
+    return _jit_serving(step, mesh, ("data", "data"))
