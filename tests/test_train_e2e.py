@@ -513,3 +513,61 @@ def test_async_checkpoint_matches_sync_and_resumes(dataset, tmp_path):
         )
     ).run()
     assert final == 30
+
+
+def test_inference_nonfinite_tripwire_on_dump_paths(dataset, tmp_path):
+    """A diverged (NaN-params) state must trip nonfinite_predictions on
+    BOTH the CSV and the probability-dump outputs — a dump-only run
+    previously reported 0 and wrote NaN npz chunks silently."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from yt8m_tpu.models import get_model
+    from yt8m_tpu.train.state import init_train_state, make_optimizer
+
+    hp = ModelHParams(vocab_size=C, feature_dim=40, **HP_KW)
+    model = get_model("MoeModel", hp)
+    batch = {
+        "features": np.zeros((4, 40), np.float32),
+        "num_frames": np.ones((4,), np.int32),
+    }
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), batch,
+        make_optimizer(global_batch_size=4), frame_level=False,
+    )
+    nan_state = state.replace(
+        params=jax.tree_util.tree_map(
+            lambda p: jnp.full_like(p, jnp.nan), state.params
+        )
+    )
+
+    icfg = InferenceConfig(
+        input_data_pattern=os.path.join(dataset, "validate-*.tfrecord"),
+        feature_names="mean_rgb,mean_audio",
+        feature_sizes="32,8",
+        num_classes=C,
+        batch_size=16,
+        model="MoeModel",
+        output_file="",  # dump-only run: no CSV
+        output_probabilities_dir=str(tmp_path / "dumps"),
+        top_k=5,
+        hparams=ModelHParams(**HP_KW),
+    )
+    stats = inference(icfg, state=nan_state)
+    assert stats["nonfinite_predictions"] > 0
+
+    # healthy state reports zero (CSV path)
+    icfg2 = InferenceConfig(
+        input_data_pattern=os.path.join(dataset, "validate-*.tfrecord"),
+        feature_names="mean_rgb,mean_audio",
+        feature_sizes="32,8",
+        num_classes=C,
+        batch_size=16,
+        model="MoeModel",
+        output_file=str(tmp_path / "ok.csv"),
+        top_k=5,
+        hparams=ModelHParams(**HP_KW),
+    )
+    stats2 = inference(icfg2, state=state)
+    assert stats2["nonfinite_predictions"] == 0
