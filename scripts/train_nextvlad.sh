@@ -2,8 +2,9 @@
 # NeXtVLAD (arXiv:1811.05014) — the fork family's successor; the paper's
 # single-model YT-8M config (groups=8, lambda=2, K=128, hidden=1024,
 # MoE-4). Serving runs the fused Pallas aggregation kernel
-# (kernels/nextvlad.py) by default; training keeps the XLA graph
-# (cross-batch BN) — --adam_mu_dtype=bfloat16 stays off here because the
+# (kernels/nextvlad.py) by default, and single-chip training runs the
+# fused custom-VJP train core (kernels/nextvlad_train.py, measured
+# 1.22-1.26x) — --adam_mu_dtype=bfloat16 stays off here because the
 # 68M-param step is not Adam-bound (scripts/profile_nextvlad_train.py).
 set -e
 DATA=${DATA:-data}

@@ -243,6 +243,54 @@ def main():
     assert bool(jnp.all(ni[7] == jnp.arange(20)))  # all-NaN row: index fill
     print(f"exact_topk TPU: {time.time()-t0:.1f}s bitwise-ok nan-ok",
           flush=True)
+
+    # fused NeXtVLAD TRAIN core (kernels/nextvlad_train.py): weight
+    # gradients vs jax.grad of the jnp oracle at reference shapes.
+    from yt8m_tpu.kernels.nextvlad_train import nextvlad_aggregate_train
+    from yt8m_tpu.data.quantize import DEQUANT_BIAS, DEQUANT_SCALE
+
+    t0 = time.time()
+    bt = 16
+    frames_t = jnp.asarray(
+        rng.integers(0, 256, (bt, 300, d), dtype=np.uint8)
+    )
+    nf_t = jnp.asarray(rng.integers(30, 301, (bt,)), jnp.int32)
+    cot = jnp.asarray(
+        rng.normal(0, 1, (bt, kk, de // gg)), jnp.float32
+    )
+    wts = dict(
+        we=jnp.asarray(wexp), wa=jnp.asarray(wat), ab=jnp.asarray(bat),
+        wc=jnp.asarray(wcl), ce=jnp.asarray(cen),
+    )
+
+    def loss_fused(w):
+        y = nextvlad_aggregate_train(
+            frames_t, nf_t, w["we"], w["wa"], w["ab"], w["wc"], w["ce"],
+            gg, DEQUANT_SCALE, DEQUANT_BIAS, False, jnp.bfloat16,
+        )
+        return jnp.sum(y * cot)
+
+    def loss_oracle(w):
+        y = nextvlad_aggregate_reference(
+            frames_t, nf_t, w["we"], w["wa"], w["ab"], w["wc"], w["ce"],
+            groups=gg,
+        )
+        return jnp.sum(y * cot)
+
+    gf = jax.jit(jax.grad(loss_fused))(wts)
+    go = jax.jit(jax.grad(loss_oracle))(wts)
+    worst = 0.0
+    for name in wts:
+        a, o = np.asarray(gf[name]), np.asarray(go[name])
+        rel = np.abs(a - o).max() / max(np.abs(o).max(), 1e-6)
+        worst = max(worst, float(rel))
+    print(
+        f"nextvlad_train TPU: {time.time()-t0:.1f}s "
+        f"worst_rel_grad_err={worst:.4f}",
+        flush=True,
+    )
+    assert worst < 0.05
+
     print("ALL KERNELS TPU OK", flush=True)
 
 

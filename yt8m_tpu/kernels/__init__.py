@@ -30,7 +30,11 @@ def pallas_interpret_forced() -> bool:
 # model on a multi-device TPU mesh. Any future train-path kernel MUST
 # register its gate flag here or it will crash multi-chip training at
 # lowering (jax tpu_custom_call NotImplementedError).
-TRAIN_PATH_KERNEL_FLAGS = ("lstm_use_pallas", "netvlad_fused_train")
+TRAIN_PATH_KERNEL_FLAGS = (
+    "lstm_use_pallas",
+    "netvlad_fused_train",
+    "nextvlad_train_fused",
+)
 
 
 def static_shape(*arrays) -> bool:

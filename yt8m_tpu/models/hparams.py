@@ -90,6 +90,12 @@ class ModelHParams:
     nextvlad_hidden_size: int = 1024
     # fused serving aggregation kernel (kernels/nextvlad.py)
     nextvlad_use_pallas: bool = True
+    # fused custom-VJP TRAIN aggregation (kernels/nextvlad_train.py):
+    # the step is aggregation-bound (~86%, BENCH_NOTES r3 profile);
+    # measured 1.22x (B=256) / 1.26x (B=512) on-chip, loss parity to
+    # 5 digits — default ON like the RNN train cores (single-chip
+    # only: the Trainer forces TRAIN_PATH_KERNEL_FLAGS off multi-chip)
+    nextvlad_train_fused: bool = True
 
     # Temporal CNN family (fork CNN variants)
     cnn_filters: int = 1024

@@ -84,14 +84,41 @@ class NeXtVladModel(nn.Module):
         )
 
         interpret = pallas_interpret_forced()
-        if (
-            not train
-            and hp.nextvlad_use_pallas
-            and kernels_enabled()
+        kernel_ok = (
+            kernels_enabled()
             and not self.is_initializing()
             and (jnp.dtype(hp.dtype) == jnp.bfloat16 or interpret)
             and (jax.default_backend() == "tpu" or interpret)
             and static_shape(features)
+        )
+        if train and hp.nextvlad_train_fused and kernel_ok:
+            # Fused custom-VJP train core (kernels/nextvlad_train.py):
+            # the forward is the serving kernel; the backward
+            # recomputes per-video in VMEM and accumulates the five
+            # weight gradients across the grid — neither direction
+            # materialises xe or the [B,F,G,K] assignment in HBM.
+            # BatchNorm (cross-batch stats) stays in XLA downstream.
+            from yt8m_tpu.kernels.nextvlad_train import (
+                nextvlad_aggregate_train,
+            )
+
+            from yt8m_tpu.data.quantize import (
+                DEQUANT_BIAS,
+                DEQUANT_SCALE,
+            )
+
+            # positional call: custom_vjp nondiff_argnums are resolved
+            # by position
+            vlad = nextvlad_aggregate_train(
+                features, num_frames, expand_w, attn_w, attn_b,
+                cluster_w, centers, g, DEQUANT_SCALE, DEQUANT_BIAS,
+                interpret, hp.dtype,
+            )
+            vlad = vlad.reshape(b, k * p)
+        elif (
+            not train
+            and hp.nextvlad_use_pallas
+            and kernel_ok
         ):
             # Fused aggregation (kernels/nextvlad.py): dequant +
             # expansion + group attention + per-group softmax +
