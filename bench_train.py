@@ -27,6 +27,14 @@ CASES = [
     ("LstmModel", True, 256, {"lstm_cells": 1024, "lstm_layers": 2}),
     ("GruModel", True, 256, {"gru_cells": 1024, "gru_layers": 2}),
     ("BiLstmModel", True, 128, {"lstm_cells": 1024, "lstm_layers": 2}),
+    # r4 zoo tail (VERDICT r3 missing #4): the families the reference's
+    # ensembles leaned on — incl. the chain family's aux-loss graph.
+    ("NeXtVladModel", True, 256, {}),
+    ("NetFVModel", True, 256, {"netvlad_cluster_size": 256}),
+    ("FrameCnnModel", True, 256, {}),
+    ("ChainFrameModel", True, 512, {}),
+    ("ChainNetVladModel", True, 256, {"netvlad_cluster_size": 256}),
+    ("DeepCombineChainModel", True, 512, {}),
 ]
 
 

@@ -60,6 +60,13 @@ FAMILIES = [
     "NeXtVladModel",
     "LstmModel",
     "GruModel",
+    # r4: the zoo tail (VERDICT r3 missing #4) — the families the
+    # reference's ensembles leaned on but which had unit tests only.
+    "NetFVModel",
+    "FrameCnnModel",
+    "ChainFrameModel",
+    "ChainNetVladModel",
+    "DeepCombineChainModel",
 ]
 
 
@@ -73,6 +80,8 @@ def main():
             nextvlad_cluster_size=8, nextvlad_hidden_size=32,
             lstm_cells=16, gru_cells=16,
             attention_hidden_size=16, attention_cluster_size=4,
+            cnn_filters=16, cnn_layers=1,
+            chain_stages=2, chain_hidden_size=16,
         )
     f, d = hp.max_frames, hp.feature_dim
 

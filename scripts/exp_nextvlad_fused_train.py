@@ -41,7 +41,10 @@ def run(b, fused):
     hp = dataclasses.replace(ModelHParams(), nextvlad_train_fused=fused)
     model = get_model("NeXtVladModel", hp)
     loss = get_loss("CrossEntropyLoss")
-    mesh = mesh_lib.make_mesh()
+    # Single-device mesh: this A/B times the plain-jit step factory on
+    # the one local chip; a multi-device mesh here would bypass the
+    # Trainer's manual shard_map path and fail at Mosaic lowering.
+    mesh = mesh_lib.make_mesh(1)
 
     rng = np.random.default_rng(0)
     batch_np = {

@@ -1,0 +1,184 @@
+#!/usr/bin/env python
+"""Fused-vs-XLA NeXtVLAD TRAIN trajectory A/B (VERDICT r3 weak #2).
+
+The fused custom-VJP NeXtVLAD train core shipped default-ON in r3 on
+one-step evidence (loss parity to 5 digits, worst on-chip grad rel-err
+0.43%). The repo's own bar for a default-ON gradient kernel is higher —
+the LSTM/GRU cores shipped with trajectory-divergence measurements and
+GatedNetVLAD was soaked to convergence. This experiment trains the SAME
+synthetic planted-signal stream (identical batches, identical init) for
+N steps with nextvlad_train_fused ON vs OFF and reports:
+
+  - loss curves (every 25 steps) and their max/mean absolute gap,
+  - final param relative drift per layer class,
+  - held-out GAP@20 of both arms (the number that decides the default).
+
+Synthetic stream: the data/synthetic.py planted-signal construction
+(per-video label-direction mean + per-frame noise, uint8-quantized),
+generated in memory — wire format is irrelevant to a gradient A/B, the
+LEARNABILITY is what matters.
+
+Usage (chip):  python scripts/exp_nextvlad_train_trajectory.py
+Smoke (CPU):   YT8M_EXP_TINY=1 YT8M_FORCE_CPU=1 YT8M_PALLAS_INTERPRET=1 \
+               python scripts/exp_nextvlad_train_trajectory.py
+
+Env: YT8M_EXP_STEPS (default 300), YT8M_EXP_BATCH (default 256).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if os.environ.get("YT8M_FORCE_CPU") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
+cache = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache",
+)
+jax.config.update("jax_compilation_cache_dir", cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from yt8m_tpu.data.quantize import quantize
+from yt8m_tpu.metrics import calculate_gap
+from yt8m_tpu.models import get_model
+from yt8m_tpu.models.hparams import ModelHParams
+from yt8m_tpu.train.losses import get_loss
+from yt8m_tpu.train.state import init_train_state, make_optimizer
+from yt8m_tpu.train.step import make_predict_step, make_train_step
+
+TINY = os.environ.get("YT8M_EXP_TINY") == "1"
+STEPS = int(os.environ.get("YT8M_EXP_STEPS", "20" if TINY else "300"))
+B = int(os.environ.get("YT8M_EXP_BATCH", "16" if TINY else "256"))
+C = 64 if TINY else 4716
+D = 32 if TINY else 1152
+F = 16 if TINY else 300
+EVAL_B = 8 * B
+
+
+def _class_dirs() -> np.ndarray:
+    """Per-class unit directions, matching data/synthetic.py's
+    _planted_features (seeded per class)."""
+    dirs = np.empty((C, D), np.float32)
+    for c in range(C):
+        g = np.random.default_rng(1000 + c).normal(0.0, 1.0, size=(D,))
+        dirs[c] = g / (np.linalg.norm(g) + 1e-8)
+    return dirs
+
+
+DIRS = _class_dirs()
+
+
+def make_batch(seed: int, b: int) -> dict:
+    rng = np.random.default_rng(seed)
+    # ~Zipf-lite label draw: 1-3 labels from the full vocabulary.
+    k = rng.integers(1, 4, size=(b,))
+    labels = np.zeros((b, C), np.float32)
+    base = rng.normal(0.0, 0.6, size=(b, D)).astype(np.float32)
+    for i in range(b):
+        cls = rng.integers(0, C, size=(int(k[i]),))
+        labels[i, cls] = 1.0
+        base[i] += 1.5 * DIRS[cls].sum(axis=0)
+    nf = rng.integers(max(4, F // 4), F + 1, size=(b,)).astype(np.int32)
+    noise = rng.normal(0.0, 0.3, size=(b, F, D)).astype(np.float32)
+    feats = quantize(base[:, None, :] + noise)
+    return {
+        "features": feats,
+        "labels": labels,
+        "num_frames": nf,
+        "batch_mask": np.ones((b,), np.float32),
+    }
+
+
+def run_arm(fused: bool, batches, eval_batch):
+    hp = ModelHParams(
+        vocab_size=C, feature_dim=D, max_frames=F,
+        nextvlad_train_fused=fused,
+    )
+    if TINY:
+        hp = hp.replace(
+            nextvlad_groups=4, nextvlad_expansion=2,
+            nextvlad_cluster_size=8, nextvlad_hidden_size=16,
+            compute_dtype="float32",
+        )
+    model = get_model("NeXtVladModel", hp)
+    tx = make_optimizer(global_batch_size=B)
+    state = init_train_state(
+        model, jax.random.PRNGKey(0), batches[0], tx, frame_level=True
+    )
+    step_fn = make_train_step(model, get_loss("CrossEntropyLoss"))
+    losses = []
+    t0 = time.perf_counter()
+    for i, b in enumerate(batches):
+        db = {k: jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step_fn(state, db, jax.random.PRNGKey(50 + i))
+        losses.append(float(jax.device_get(metrics["loss"])))
+    dt = time.perf_counter() - t0
+    pred_fn = make_predict_step(model)
+    preds = np.asarray(
+        jax.device_get(
+            pred_fn(
+                state,
+                {k: jnp.asarray(v) for k, v in eval_batch.items()},
+                jax.random.PRNGKey(99),
+            )
+        )
+    )
+    gap = calculate_gap(preds, eval_batch["labels"])
+    return losses, gap, jax.device_get(state.params), dt
+
+
+def main():
+    print(
+        f"NeXtVLAD train trajectory A/B: steps={STEPS} B={B} C={C} "
+        f"D={D} F={F} backend={jax.default_backend()}",
+        flush=True,
+    )
+    batches = [make_batch(10_000 + i, B) for i in range(STEPS)]
+    eval_batch = make_batch(777_777, EVAL_B)
+
+    loss_x, gap_x, params_x, dt_x = run_arm(False, batches, eval_batch)
+    print(f"xla arm done in {dt_x:.1f}s gap={gap_x:.4f}", flush=True)
+    loss_f, gap_f, params_f, dt_f = run_arm(True, batches, eval_batch)
+    print(f"fused arm done in {dt_f:.1f}s gap={gap_f:.4f}", flush=True)
+
+    gaps = np.abs(np.asarray(loss_f) - np.asarray(loss_x))
+    curve = {
+        str(i): (round(loss_x[i], 5), round(loss_f[i], 5))
+        for i in range(0, STEPS, max(1, STEPS // 12))
+    }
+    drift = {}
+    flat_x = jax.tree_util.tree_leaves_with_path(params_x)
+    flat_f = jax.tree_util.tree_leaves_with_path(params_f)
+    for (k, vx), (_, vf) in zip(flat_x, flat_f):
+        name = jax.tree_util.keystr(k)
+        denom = float(np.max(np.abs(vx))) + 1e-12
+        drift[name] = round(float(np.max(np.abs(vx - vf))) / denom, 6)
+    worst = sorted(drift.items(), key=lambda kv: -kv[1])[:8]
+    out = {
+        "steps": STEPS,
+        "batch": B,
+        "final_loss_xla": loss_x[-1],
+        "final_loss_fused": loss_f[-1],
+        "max_abs_loss_gap": float(gaps.max()),
+        "mean_abs_loss_gap": float(gaps.mean()),
+        "gap_xla": round(float(gap_x), 5),
+        "gap_fused": round(float(gap_f), 5),
+        "loss_curve_(xla,fused)": curve,
+        "worst_param_rel_drift": worst,
+        "arm_seconds": [round(dt_x, 1), round(dt_f, 1)],
+    }
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -148,7 +148,7 @@ def build_ensemble(cfg) -> EnsembleServe:
         "compute_dtype", "moe_head_pallas", "dbof_use_pallas",
         "dbof_int8_serving", "lstm_use_pallas", "netvlad_use_pallas",
         "netvlad_fused_train", "attention_use_pallas",
-        "nextvlad_use_pallas",
+        "nextvlad_use_pallas", "nextvlad_train_fused", "bn_axis",
     }
     models = []
     for i, d in enumerate(dirs):

@@ -407,6 +407,11 @@ def _bwd_rule(groups, deq_scale, deq_bias, interpret, dtype, res, dy):
         frames, num_frames, expand_w, attn_w, attn_b, cluster_w,
         centers, dy, groups, deq_scale, deq_bias, interpret, dtype,
     )
+    # CONTRACT: frames/num_frames get None (zero) cotangents — the
+    # model feeds raw reader features, which are never differentiated.
+    # A caller that needs d(frames) (saliency, input-side distillation)
+    # must use the XLA path (nextvlad_train_fused=False); this kernel
+    # would silently return zeros, not raise.
     return None, None, dwe, dwa, dab, dwc, dce
 
 

@@ -101,13 +101,9 @@ class AttentionPoolingModel(nn.Module):
             proj.astype(hp.dtype),
             preferred_element_type=jnp.float32,
         )
-        hidden = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.99,
-            epsilon=1e-3,
-            dtype=jnp.float32,
-            name="proj_bn",
-        )(hidden)
+        from yt8m_tpu.models.norm import batch_norm
+
+        hidden = batch_norm(train, "proj_bn", hp.bn_axis)(hidden)
         hidden = nn.relu(hidden)
 
         out = make_classifier_head(hp)(hidden, train=train)

@@ -126,13 +126,9 @@ class ChainNetVladModel(nn.Module):
             hidden_weights.astype(hp.dtype),
             preferred_element_type=jnp.float32,
         )
-        hidden = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.99,
-            epsilon=1e-3,
-            dtype=jnp.float32,
-            name="hidden1_bn",
-        )(hidden)
+        from yt8m_tpu.models.norm import batch_norm
+
+        hidden = batch_norm(train, "hidden1_bn", hp.bn_axis)(hidden)
         hidden = nn.relu(hidden)
         out = _ChainStack(hp=self.hp, name="chain")(hidden, train=train)
         out["regularization_loss"] = out["regularization_loss"] + (

@@ -44,13 +44,9 @@ class FrameCnnModel(nn.Module):
                 dtype=hp.dtype,
                 name=f"conv{i}",
             )(x).astype(jnp.float32)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
-                dtype=jnp.float32,
-                name=f"conv{i}_bn",
-            )(x)
+            from yt8m_tpu.models.norm import batch_norm
+
+            x = batch_norm(train, f"conv{i}_bn", hp.bn_axis)(x)
             x = nn.relu(x)
 
         pooled = frame_pooling(x, "max", mask)

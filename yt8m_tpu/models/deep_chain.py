@@ -73,13 +73,9 @@ class DeepCombineChainModel(nn.Module):
                 mix.astype(hp.dtype),
                 preferred_element_type=jnp.float32,
             )
-            state = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
-                dtype=jnp.float32,
-                name=f"mix{stage}_bn",
-            )(state)
+            from yt8m_tpu.models.norm import batch_norm
+
+            state = batch_norm(train, f"mix{stage}_bn", hp.bn_axis)(state)
             state = nn.relu(state)
             reg = reg + hp.l2_penalty * l2_loss(mix)
 

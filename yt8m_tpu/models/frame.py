@@ -52,12 +52,18 @@ _BN_MOMENTUM = 0.99
 _BN_EPS = 1e-3
 
 
-def _inline_bn(x, gamma, beta, ra_mean, ra_var, update_stats: bool):
+def _inline_bn(
+    x, gamma, beta, ra_mean, ra_var, update_stats: bool,
+    axis_name: str = "",
+):
     """BatchNorm over axis 0 with foldable running stats (mirrors
-    nn.BatchNorm semantics: momentum 0.99, eps 1e-3)."""
+    nn.BatchNorm semantics: momentum 0.99, eps 1e-3). axis_name makes
+    the batch statistics cross-replica inside a shard_map body
+    (models/norm.py :: bn_moments)."""
     if update_stats:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)
+        from yt8m_tpu.models.norm import bn_moments
+
+        mean, var = bn_moments(x, axis_name)
         ra_mean.value = (
             _BN_MOMENTUM * ra_mean.value + (1 - _BN_MOMENTUM) * mean
         )
@@ -212,6 +218,7 @@ class _DbofBase(nn.Module):
                 x = _inline_bn(
                     x, in_gamma, in_beta, in_mean, in_var,
                     train and not self.is_initializing(),
+                    axis_name=hp.bn_axis,
                 )
             act = jnp.dot(
                 x.astype(hp.dtype),
@@ -222,6 +229,7 @@ class _DbofBase(nn.Module):
                 act = _inline_bn(
                     act, c_gamma, c_beta, c_mean, c_var,
                     train and not self.is_initializing(),
+                    axis_name=hp.bn_axis,
                 )
             else:
                 act = act + cluster_bias
@@ -248,13 +256,9 @@ class _DbofBase(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if hp.dbof_add_batch_norm:
-            hidden = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
-                dtype=jnp.float32,
-                name="hidden_bn",
-            )(hidden)
+            from yt8m_tpu.models.norm import batch_norm
+
+            hidden = batch_norm(train, "hidden_bn", hp.bn_axis)(hidden)
         else:
             hbias = self.param(
                 "hidden_bias",
@@ -271,6 +275,7 @@ class _DbofBase(nn.Module):
             hidden = ContextGate(
                 add_batch_norm=hp.dbof_add_batch_norm,
                 dtype=hp.dtype,
+                bn_axis=hp.bn_axis,
                 name="context_gate",
             )(hidden, train=train)
 

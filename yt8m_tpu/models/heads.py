@@ -182,6 +182,7 @@ class ContextGate(nn.Module):
 
     add_batch_norm: bool = True
     dtype: Any = jnp.float32
+    bn_axis: str = ""  # cross-replica BN axis (models/norm.py)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -191,11 +192,7 @@ class ContextGate(nn.Module):
             use_bias=not self.add_batch_norm,
         )
         if self.add_batch_norm:
-            gates = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
-                dtype=jnp.float32,
-                name="gating_bn",
-            )(gates)
+            from yt8m_tpu.models.norm import batch_norm
+
+            gates = batch_norm(train, "gating_bn", self.bn_axis)(gates)
         return x * nn.sigmoid(gates.astype(jnp.float32)).astype(x.dtype)

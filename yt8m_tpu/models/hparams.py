@@ -110,6 +110,14 @@ class ModelHParams:
     # Distillation
     distill_alpha: float = 0.5
 
+    # Cross-replica BatchNorm axis for the MANUAL (shard_map) train
+    # step (train/step.py): when set, every BN site psum-averages its
+    # batch statistics over this mesh axis so per-shard training
+    # matches the GSPMD global-batch semantics. Runtime-only: the
+    # Trainer sets it on the TRAINING model; user configs and
+    # model_flags.json keep "".
+    bn_axis: str = ""
+
     @property
     def dtype(self) -> Any:
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32

@@ -71,13 +71,11 @@ class NetFVModel(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if hp.netvlad_add_batch_norm:
-            act = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.99,
-                epsilon=1e-3,
-                dtype=jnp.float32,
-                name="cluster_bn",
-            )(act.reshape(b * f, k)).reshape(b, f, k)
+            from yt8m_tpu.models.norm import batch_norm
+
+            act = batch_norm(train, "cluster_bn", hp.bn_axis)(
+                act.reshape(b * f, k)
+            ).reshape(b, f, k)
         assign = nn.softmax(act, axis=-1) * mask[:, :, None]
 
         a_sum = jnp.sum(assign, axis=1)  # [B, K]
@@ -118,13 +116,9 @@ class NetFVModel(nn.Module):
             hidden_w.astype(hp.dtype),
             preferred_element_type=jnp.float32,
         )
-        hidden = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.99,
-            epsilon=1e-3,
-            dtype=jnp.float32,
-            name="hidden1_bn",
-        )(hidden)
+        from yt8m_tpu.models.norm import batch_norm
+
+        hidden = batch_norm(train, "hidden1_bn", hp.bn_axis)(hidden)
         hidden = nn.relu(hidden)
 
         out = make_classifier_head(hp)(hidden, train=train)

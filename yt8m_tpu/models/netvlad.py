@@ -54,6 +54,7 @@ class _NetVladAggregation(nn.Module):
     dtype: object = jnp.float32
     use_pallas: bool = True
     fused_train: bool = False  # match hparams.netvlad_fused_train default
+    bn_axis: str = ""  # cross-replica BN axis (models/norm.py)
 
     @nn.compact
     def __call__(self, frames, num_frames, mask, train: bool = False):
@@ -136,8 +137,9 @@ class _NetVladAggregation(nn.Module):
         )
         if self.add_batch_norm:
             if train:
-                mean = jnp.mean(act, axis=0)
-                var = jnp.var(act, axis=0)
+                from yt8m_tpu.models.norm import bn_moments
+
+                mean, var = bn_moments(act, self.bn_axis)
                 if not self.is_initializing():
                     ra_mean.value = (
                         _BN_MOMENTUM * ra_mean.value
@@ -220,6 +222,7 @@ class _NetVladBase(nn.Module):
             dtype=hp.dtype,
             use_pallas=hp.netvlad_use_pallas,
             fused_train=hp.netvlad_fused_train,
+            bn_axis=hp.bn_axis,
             name="vlad",
         )(features, num_frames, mask, train=train)
 
@@ -237,13 +240,9 @@ class _NetVladBase(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if hp.netvlad_add_batch_norm:
-            hidden = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=_BN_MOMENTUM,
-                epsilon=_BN_EPS,
-                dtype=jnp.float32,
-                name="hidden1_bn",
-            )(hidden)
+            from yt8m_tpu.models.norm import batch_norm
+
+            hidden = batch_norm(train, "hidden1_bn", hp.bn_axis)(hidden)
         else:
             hbias = self.param(
                 "hidden1_biases",
@@ -258,6 +257,7 @@ class _NetVladBase(nn.Module):
             hidden = ContextGate(
                 add_batch_norm=hp.netvlad_add_batch_norm,
                 dtype=hp.dtype,
+                bn_axis=hp.bn_axis,
                 name="context_gate",
             )(hidden, train=train)
 

@@ -61,6 +61,7 @@ class _NetVladLstmBase(nn.Module):
             dtype=hp.dtype,
             use_pallas=hp.netvlad_use_pallas,
             fused_train=hp.netvlad_fused_train,
+            bn_axis=hp.bn_axis,
             name="vlad",
         )(x, num_frames, mask, train=train)
         hidden_weights = self.param(
@@ -75,13 +76,9 @@ class _NetVladLstmBase(nn.Module):
             preferred_element_type=jnp.float32,
         )
         if hp.netvlad_add_batch_norm:
-            vh = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=_BN_MOMENTUM,
-                epsilon=_BN_EPS,
-                dtype=jnp.float32,
-                name="vlad_hidden_bn",
-            )(vh)
+            from yt8m_tpu.models.norm import batch_norm
+
+            vh = batch_norm(train, "vlad_hidden_bn", hp.bn_axis)(vh)
         else:
             vh = vh + self.param(
                 "vlad_hidden_biases",
@@ -112,6 +109,7 @@ class _NetVladLstmBase(nn.Module):
             fused = ContextGate(
                 add_batch_norm=hp.netvlad_add_batch_norm,
                 dtype=hp.dtype,
+                bn_axis=hp.bn_axis,
                 name="context_gate",
             )(fused, train=train)
 

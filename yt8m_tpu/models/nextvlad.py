@@ -139,13 +139,9 @@ class NeXtVladModel(nn.Module):
                 features, num_frames, expand_w, attn_w, attn_b,
                 cluster_w, centers,
             )
-        vlad = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.99,
-            epsilon=1e-3,
-            dtype=jnp.float32,
-            name="vlad_bn",
-        )(vlad)
+        from yt8m_tpu.models.norm import batch_norm
+
+        vlad = batch_norm(train, "vlad_bn", hp.bn_axis)(vlad)
 
         hidden_w = self.param(
             "hidden1_weights",
@@ -158,15 +154,10 @@ class NeXtVladModel(nn.Module):
             hidden_w.astype(hp.dtype),
             preferred_element_type=jnp.float32,
         )
-        hidden = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.99,
-            epsilon=1e-3,
-            dtype=jnp.float32,
-            name="hidden1_bn",
-        )(hidden)
+        hidden = batch_norm(train, "hidden1_bn", hp.bn_axis)(hidden)
         hidden = nn.relu(hidden)
         hidden = ContextGate(
+            bn_axis=hp.bn_axis,
             add_batch_norm=True, dtype=hp.dtype, name="context_gate"
         )(hidden, train=train)
 

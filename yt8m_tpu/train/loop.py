@@ -96,19 +96,30 @@ class Trainer:
             )
         self.mesh = mesh_lib.make_mesh(cfg.num_devices, cfg.model_parallel)
         train_hparams = self.hparams
-        if self.mesh.size > 1 and jax.default_backend() == "tpu":
-            # Mosaic kernels cannot be auto-partitioned by GSPMD — a
-            # multi-device jit containing one fails at lowering
-            # (jax/_src/tpu_custom_call.py). The SERVING/eval steps run
-            # under shard_map (train/step.py :: _is_manual), but the
-            # TRAIN step carries TP/FSDP param shardings that the
-            # Pallas train kernels do not partition manually yet — the
-            # TRAINING model falls back to their scan/XLA paths.
-            # Single-chip training keeps the kernels (the measured
-            # ~1.9x recurrences, BENCH_NOTES). The override is scoped
-            # to the train model: self.hparams — what model_flags.json
-            # and export meta.json persist — keeps the user's config,
-            # so serving rebuilds get their fused kernels back.
+        # Multi-device TRAINING runs MANUAL (shard_map) on data-only
+        # meshes (train/step.py :: _make_manual_train_step), keeping the
+        # Pallas train kernels ON — GSPMD cannot partition Mosaic calls,
+        # which in r3 silently cost the fused-kernel wins multi-chip.
+        # The training model gets bn_axis='data' so every BatchNorm
+        # psum-averages its batch moments (models/norm.py), matching the
+        # single-program global-batch semantics. Runtime-only:
+        # self.hparams — what model_flags.json / export meta.json
+        # persist — keeps the user's config.
+        self.manual_train = (
+            self.mesh.size > 1
+            and self.mesh.shape[mesh_lib.MODEL_AXIS] == 1
+        )
+        if self.manual_train:
+            train_hparams = self.hparams.replace(
+                bn_axis=mesh_lib.DATA_AXIS
+            )
+        elif self.mesh.size > 1 and jax.default_backend() == "tpu":
+            # Tensor-parallel meshes keep the single GSPMD program: the
+            # manual step does not partition TP head shardings, and a
+            # multi-device jit containing a Mosaic call fails at
+            # lowering — so the TRAINING model falls back to the
+            # scan/XLA paths there. Serving/eval keep their kernels via
+            # the shard_map wrappers.
             from yt8m_tpu.kernels import TRAIN_PATH_KERNEL_FLAGS
 
             overrides = {
@@ -122,12 +133,12 @@ class Trainer:
                     # Only RNN/VLAD families dispatch these kernels —
                     # don't alarm e.g. a DBoF run.
                     log.warning(
-                        "multi-device mesh (%d chips): Pallas TRAIN "
-                        "kernels fall back to their XLA paths (%s) — "
-                        "GSPMD cannot partition Mosaic calls and the "
-                        "train step is not shard_map'd; serving/eval "
-                        "keep their kernels",
+                        "tensor-parallel mesh (%d chips, tp=%d): Pallas "
+                        "TRAIN kernels fall back to their XLA paths "
+                        "(%s); data-only meshes keep them via the "
+                        "manual train step",
                         self.mesh.size,
+                        self.mesh.shape[mesh_lib.MODEL_AXIS],
                         ", ".join(sorted(overrides)),
                     )
         self.model = get_model(cfg.model, train_hparams)
@@ -184,13 +195,10 @@ class Trainer:
             clip_gradient_norm=cfg.clip_gradient_norm,
             adam_mu_dtype=cfg.adam_mu_dtype,
         )
-        self.train_step = make_train_step(
-            self.model,
-            self.loss_obj,
-            regularization_penalty=cfg.regularization_penalty,
-            aux_loss_weight=self.hparams.chain_aux_loss_weight,
-            ema_decay=cfg.ema_decay,
-        )
+        # Built in _init_state: the MANUAL multi-device step needs the
+        # state's partition specs (FSDP/TP placement), which exist only
+        # once the state does.
+        self.train_step = None
         self.ckpt = CheckpointManager(
             cfg.train_dir,
             max_to_keep=cfg.max_checkpoints_to_keep,
@@ -268,6 +276,25 @@ class Trainer:
                     state.opt_state, self.mesh,
                     fsdp_min_size=cfg.fsdp_min_size,
                 )
+            )
+            if state.ema_params is not None:
+                # The Polyak average is params-shaped — shard it with
+                # the params (r4: also what the manual step's
+                # elementwise EMA update requires).
+                shardings = shardings.replace(ema_params=param_sh)
+        if self.train_step is None:
+            self.train_step = make_train_step(
+                self.model,
+                self.loss_obj,
+                regularization_penalty=cfg.regularization_penalty,
+                aux_loss_weight=self.hparams.chain_aux_loss_weight,
+                ema_decay=cfg.ema_decay,
+                mesh=self.mesh if self.manual_train else None,
+                state_specs=(
+                    jax.tree_util.tree_map(lambda s: s.spec, shardings)
+                    if self.manual_train
+                    else None
+                ),
             )
         return jax.device_put(state, shardings)
 

@@ -28,6 +28,47 @@ class TrainState(train_state.TrainState):
     ema_params: Any = None
 
 
+# Set (at trace time) by the MANUAL shard_map train step around its
+# apply_gradients call: a params-shaped pytree of PartitionSpec telling
+# clip_gradient_norms which mesh axes each gradient leaf is sharded
+# over, so the per-VARIABLE norm is computed over the FULL variable
+# (local sum-of-squares psum'd over the sharded axes) instead of the
+# local shard. None (the default) = unsharded leaves, plain local norm
+# — the single-program GSPMD path, where XLA handles cross-device norms
+# itself. Trace-time plumbing only; see train/step.py :: grad_sharding.
+_GRAD_PSPECS = None
+
+
+class grad_sharding:
+    """Context manager declaring gradient-leaf shardings for the
+    per-variable clip (manual shard_map bodies only)."""
+
+    def __init__(self, pspecs):
+        self.pspecs = pspecs
+
+    def __enter__(self):
+        global _GRAD_PSPECS
+        self._prev = _GRAD_PSPECS
+        _GRAD_PSPECS = self.pspecs
+
+    def __exit__(self, *exc):
+        global _GRAD_PSPECS
+        _GRAD_PSPECS = self._prev
+
+
+def _leaf_sumsq(g, spec) -> jnp.ndarray:
+    """Sum of squares of one (possibly sharded) gradient leaf, reduced
+    over the mesh axes named in its PartitionSpec."""
+    sumsq = jnp.sum(jnp.square(g.astype(jnp.float32)))
+    if spec is not None:
+        for axes in spec:
+            if axes is None:
+                continue
+            for ax in axes if isinstance(axes, tuple) else (axes,):
+                sumsq = jax.lax.psum(sumsq, ax)
+    return sumsq
+
+
 def clip_gradient_norms(max_norm: float) -> optax.GradientTransformation:
     """PER-VARIABLE norm clipping (reference: utils.py ::
     clip_gradient_norms applies tf.clip_by_norm to each gradient
@@ -36,11 +77,16 @@ def clip_gradient_norms(max_norm: float) -> optax.GradientTransformation:
     def update_fn(updates, state, params=None):
         del params
 
-        def clip_leaf(g):
-            norm = jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+        def clip_leaf(g, spec=None):
+            norm = jnp.sqrt(_leaf_sumsq(g, spec))
             scale = jnp.minimum(1.0, max_norm / jnp.maximum(norm, 1e-12))
             return (g * scale).astype(g.dtype)
 
+        if _GRAD_PSPECS is not None:
+            return (
+                jax.tree_util.tree_map(clip_leaf, updates, _GRAD_PSPECS),
+                state,
+            )
         return jax.tree_util.tree_map(clip_leaf, updates), state
 
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
