@@ -24,12 +24,14 @@ def pallas_interpret_forced() -> bool:
 
 # ModelHParams flags that gate Pallas kernels on the TRAINING path
 # (custom-VJP recurrences shared by the LSTM/GRU families; the opt-in
-# fused VLAD train core). GSPMD cannot partition Mosaic kernels, and
-# the train step is not shard_map'd (TP/FSDP param shardings need
-# manual collectives), so the Trainer forces these OFF for the training
-# model on a multi-device TPU mesh. Any future train-path kernel MUST
-# register its gate flag here or it will crash multi-chip training at
-# lowering (jax tpu_custom_call NotImplementedError).
+# fused VLAD train core). GSPMD cannot partition Mosaic kernels. On
+# data-only multi-device meshes the Trainer runs the whole train step
+# MANUAL under shard_map (train/step.py :: _make_manual_train_step), so
+# these kernels stay ON there; only tensor-parallel meshes keep the
+# GSPMD step, where the Trainer forces these flags OFF for the training
+# model. Any future train-path kernel MUST register its gate flag here
+# or it will crash TP-mesh training at lowering (jax tpu_custom_call
+# NotImplementedError).
 TRAIN_PATH_KERNEL_FLAGS = (
     "lstm_use_pallas",
     "netvlad_fused_train",

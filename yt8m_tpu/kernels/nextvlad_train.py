@@ -130,8 +130,13 @@ def _bwd_kernel(
 
     vlad = jnp.zeros((kp, pp), jnp.float32)
     a_sum = jnp.zeros((1, kp), jnp.float32)
+    # Evaluate each group's softmax ONCE and keep the [Fp, Kp] tiles
+    # live for the backward loop below (~1.2 MB f32 at reference
+    # shapes) instead of recomputing and relying on Mosaic CSE to
+    # dedupe the exp work (ADVICE r3).
+    sms = [softmax_g(gi) for gi in range(g)]
     for gi in range(g):
-        sm = softmax_g(gi)
+        sm = sms[gi]
         assign_g = jnp.where(rowmask, sm * alpha[:, gi:gi + 1], 0.0)
         a_sum = a_sum + jnp.sum(assign_g, axis=0, keepdims=True)
         vlad = vlad + jax.lax.dot_general(
@@ -165,7 +170,7 @@ def _bwd_kernel(
         jnp.int32, (fp, alpha.shape[1]), 1
     )
     for gi in range(g):
-        sm = softmax_g(gi)
+        sm = sms[gi]
         alpha_g = alpha[:, gi:gi + 1]
         assign_g = jnp.where(rowmask, sm * alpha_g, 0.0)
         xg_g = xe[:, gi * pp:(gi + 1) * pp]

@@ -98,6 +98,11 @@ class NeXtVladModel(nn.Module):
             # weight gradients across the grid — neither direction
             # materialises xe or the [B,F,G,K] assignment in HBM.
             # BatchNorm (cross-batch stats) stays in XLA downstream.
+            # CONTRACT: features/num_frames get ZERO cotangents (reader
+            # data). Any future caller differentiating through the
+            # INPUT features (saliency, input-side distillation) must
+            # use the XLA path (nextvlad_train_fused=False) — this one
+            # silently returns d(features)=0.
             from yt8m_tpu.kernels.nextvlad_train import (
                 nextvlad_aggregate_train,
             )
