@@ -8,7 +8,7 @@ import sys
 from yt8m_tpu.config import EvalConfig
 from yt8m_tpu.eval.loop import evaluation_loop
 from yt8m_tpu.models.hparams import ModelHParams
-from yt8m_tpu.utils.flags import parse_into
+from yt8m_tpu.utils.flags import apply_recorded_model_flags, parse_into
 
 
 def main(argv=None):
@@ -25,6 +25,11 @@ def main(argv=None):
     cfg, _ = parse_into(EvalConfig, argv, hparams_cls=ModelHParams)
     if not cfg.eval_data_pattern:
         raise SystemExit("--eval_data_pattern is required")
+    if not cfg.ensemble_train_dirs:
+        # reference eval.py: the run's recorded model_flags.json rebuilds
+        # the graph — no re-typing of training flags. (Ensemble mode
+        # rebuilds per member inside build_ensemble instead.)
+        apply_recorded_model_flags(cfg, argv)
     evaluation_loop(cfg)
 
 

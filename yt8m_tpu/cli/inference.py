@@ -8,7 +8,7 @@ import sys
 from yt8m_tpu.config import InferenceConfig
 from yt8m_tpu.infer.predict import inference
 from yt8m_tpu.models.hparams import ModelHParams
-from yt8m_tpu.utils.flags import parse_into
+from yt8m_tpu.utils.flags import apply_recorded_model_flags, parse_into
 
 
 def main(argv=None):
@@ -29,6 +29,10 @@ def main(argv=None):
         raise SystemExit(
             "--output_file or --output_probabilities_dir is required"
         )
+    if not getattr(cfg, "ensemble_train_dirs", ""):
+        # reference inference.py: rebuild the graph from the run's
+        # recorded model_flags.json (explicit CLI flags win).
+        apply_recorded_model_flags(cfg, argv)
     inference(cfg)
 
 

@@ -144,12 +144,9 @@ def build_ensemble(cfg) -> EnsembleServe:
     # rebuild it (cluster sizes, layers, mixtures, ...). Without this
     # filter, recorded train-time values would silently override e.g.
     # --dbof_int8_serving or --compute_dtype passed at serve time.
-    runtime_fields = {
-        "compute_dtype", "moe_head_pallas", "dbof_use_pallas",
-        "dbof_int8_serving", "lstm_use_pallas", "netvlad_use_pallas",
-        "netvlad_fused_train", "attention_use_pallas",
-        "nextvlad_use_pallas", "nextvlad_train_fused", "bn_axis",
-    }
+    from yt8m_tpu.models.hparams import RUNTIME_HPARAM_FIELDS
+
+    runtime_fields = RUNTIME_HPARAM_FIELDS
     models = []
     for i, d in enumerate(dirs):
         recorded_name, overrides = _member_run_config(d)

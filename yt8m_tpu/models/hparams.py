@@ -124,3 +124,17 @@ class ModelHParams:
 
     def replace(self, **kw) -> "ModelHParams":
         return dataclasses.replace(self, **kw)
+
+
+# Serving-time/runtime knobs that stay under the CLI's control when a
+# model is rebuilt from a recorded model_flags.json (ensemble members,
+# eval/inference rebuild): a run's recorded train-time values must not
+# silently override e.g. --dbof_int8_serving or --compute_dtype passed
+# at serve time. Everything NOT in this set is STRUCTURAL (cluster
+# sizes, layers, mixtures, ...) and is taken from the recording.
+RUNTIME_HPARAM_FIELDS = frozenset({
+    "compute_dtype", "moe_head_pallas", "dbof_use_pallas",
+    "dbof_int8_serving", "lstm_use_pallas", "netvlad_use_pallas",
+    "netvlad_fused_train", "attention_use_pallas",
+    "nextvlad_use_pallas", "nextvlad_train_fused", "bn_axis",
+})

@@ -55,10 +55,21 @@ class CheckpointManager:
             # checkpoint as latest (resume falls back one save).
             return self._mgr.save(step, args=ocp.args.StandardSave(state))
         saved = self._mgr.save(
-            step, args=ocp.args.StandardSave(jax.device_get(state))
+            step, args=ocp.args.StandardSave(self._host_copy(state))
         )
         self._mgr.wait_until_finished()
         return saved
+
+    @staticmethod
+    def _host_copy(state):
+        """Host copy for the sync-save path — but FSDP/TP state in a
+        multi-process run is NOT fully addressable (each process holds
+        only its shards), and jax.device_get on such arrays raises.
+        Orbax serializes sharded device arrays natively (each process
+        writes its own shards), so pass them through untouched."""
+        if jax.process_count() > 1:
+            return state
+        return jax.device_get(state)
 
     def force_save(self, step: int, state) -> bool:
         if step in self._mgr.all_steps():
@@ -67,7 +78,8 @@ class CheckpointManager:
             self._mgr.wait_until_finished()
             return False
         saved = self._mgr.save(
-            step, args=ocp.args.StandardSave(jax.device_get(state)), force=True
+            step, args=ocp.args.StandardSave(self._host_copy(state)),
+            force=True,
         )
         # The final checkpoint of a run must be durable before run()
         # returns, async mode included.

@@ -325,17 +325,33 @@ class Trainer:
                 )
                 self._warned_raw_export = True
         try:
-            export_model(
-                export_dir,
-                self.config.model,
-                self.hparams,
-                jax.device_get(params),
-                batch_stats=jax.device_get(state.batch_stats),
-                ema=ema,
-            )
-            log.info(
-                "exported serving model to %s (ema=%s)", export_dir, ema
-            )
+            # FSDP/TP multi-process state is not fully addressable, so a
+            # bare device_get raises; process_allgather is a collective
+            # (every process must reach this line — the export trigger is
+            # step-based and identical on all hosts) that hands each host
+            # the full weights. Only process 0 touches the filesystem.
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                host_params = multihost_utils.process_allgather(params)
+                host_stats = multihost_utils.process_allgather(
+                    state.batch_stats
+                )
+            else:
+                host_params = jax.device_get(params)
+                host_stats = jax.device_get(state.batch_stats)
+            if jax.process_index() == 0:
+                export_model(
+                    export_dir,
+                    self.config.model,
+                    self.hparams,
+                    host_params,
+                    batch_stats=host_stats,
+                    ema=ema,
+                )
+                log.info(
+                    "exported serving model to %s (ema=%s)", export_dir, ema
+                )
         except Exception:  # export must never kill training
             log.exception("serving export failed at step %d", step)
 

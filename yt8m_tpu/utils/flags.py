@@ -89,3 +89,75 @@ def parse_into(cls, argv=None, hparams_cls=None, extra=None):
         }
         cfg.hparams = hparams_cls(**hp_kw)
     return cfg, ns
+
+
+def _explicit_flag_names(argv) -> set:
+    """Flag names the user actually typed (vs parser defaults)."""
+    import sys
+
+    if argv is None:  # argparse's own default source
+        argv = sys.argv[1:]
+    names = set()
+    for tok in argv or []:
+        if tok.startswith("--"):
+            names.add(tok[2:].split("=", 1)[0])
+    return names
+
+
+# model_flags.json keys describing the model/reader STRUCTURE; the
+# trainer records them (train/loop.py::_write_model_flags) and
+# eval/inference rebuild the graph from them (reference eval.py /
+# inference.py read the same file so a run is self-describing).
+_RECORDED_CONFIG_KEYS = (
+    "model",
+    "frame_features",
+    "feature_names",
+    "feature_sizes",
+    "num_classes",
+    "max_frames",
+    "label_loss",
+)
+
+
+def apply_recorded_model_flags(cfg, argv) -> bool:
+    """Rebuild-from-flags (reference eval.py/inference.py behavior):
+    when `cfg.train_dir/model_flags.json` exists, structural model and
+    reader fields are taken from the recording so eval/inference work
+    without re-typing the training flags. Explicitly-passed CLI flags
+    win over recorded values; runtime/serving knobs
+    (RUNTIME_HPARAM_FIELDS) always stay under CLI control.
+
+    Returns True when a recording was found and applied.
+    """
+    import json
+    import logging
+    import os
+
+    from yt8m_tpu.models.hparams import RUNTIME_HPARAM_FIELDS
+
+    path = os.path.join(cfg.train_dir, "model_flags.json")
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        data = json.load(f)
+    explicit = _explicit_flag_names(argv)
+    applied = []
+    for key in _RECORDED_CONFIG_KEYS:
+        if key in data and key not in explicit and hasattr(cfg, key):
+            if getattr(cfg, key) != data[key]:
+                applied.append(f"{key}={data[key]!r}")
+            setattr(cfg, key, data[key])
+    hp_over = {
+        k: v
+        for k, v in data.get("hparams", {}).items()
+        if k not in RUNTIME_HPARAM_FIELDS
+        and k not in explicit
+        and hasattr(cfg.hparams, k)
+    }
+    if hp_over:
+        cfg.hparams = cfg.hparams.replace(**hp_over)
+    logging.getLogger("yt8m_tpu.flags").info(
+        "rebuilt run config from %s%s", path,
+        (" (" + ", ".join(applied) + ")") if applied else "",
+    )
+    return True
