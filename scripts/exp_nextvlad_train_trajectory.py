@@ -16,7 +16,14 @@ N steps with nextvlad_train_fused ON vs OFF and reports:
 Synthetic stream: the data/synthetic.py planted-signal construction
 (per-video label-direction mean + per-frame noise, uint8-quantized),
 generated in memory — wire format is irrelevant to a gradient A/B, the
-LEARNABILITY is what matters.
+LEARNABILITY is what matters. Labels draw from the first
+YT8M_EXP_ACTIVE (default 512) of the 4716 classes so 300 steps reach a
+measurably-nonzero GAP (the full-vocabulary draw left both arms at
+GAP 0.0000 — meaningless for the A/B); kernel shapes stay the real
+C=4716. Batches are REGENERATED per step from the step seed (identical
+streams in both arms) instead of pre-materialized: the 300-batch list
+was 27 GB of host RSS and a ~35-minute single-core stall before the
+first step.
 
 Usage (chip):  python scripts/exp_nextvlad_train_trajectory.py
 Smoke (CPU):   YT8M_EXP_TINY=1 YT8M_FORCE_CPU=1 YT8M_PALLAS_INTERPRET=1 \
@@ -63,13 +70,17 @@ C = 64 if TINY else 4716
 D = 32 if TINY else 1152
 F = 16 if TINY else 300
 EVAL_B = 8 * B
+# Labels live in the first ACTIVE classes (learnable at 300 steps);
+# the model/loss/metrics still run the full C.
+ACTIVE = int(os.environ.get("YT8M_EXP_ACTIVE", str(min(512, C))))
 
 
 def _class_dirs() -> np.ndarray:
     """Per-class unit directions, matching data/synthetic.py's
-    _planted_features (seeded per class)."""
-    dirs = np.empty((C, D), np.float32)
-    for c in range(C):
+    _planted_features (seeded per class). Only ACTIVE classes carry
+    labels, so only those need directions."""
+    dirs = np.empty((ACTIVE, D), np.float32)
+    for c in range(ACTIVE):
         g = np.random.default_rng(1000 + c).normal(0.0, 1.0, size=(D,))
         dirs[c] = g / (np.linalg.norm(g) + 1e-8)
     return dirs
@@ -85,7 +96,7 @@ def make_batch(seed: int, b: int) -> dict:
     labels = np.zeros((b, C), np.float32)
     base = rng.normal(0.0, 0.6, size=(b, D)).astype(np.float32)
     for i in range(b):
-        cls = rng.integers(0, C, size=(int(k[i]),))
+        cls = rng.integers(0, ACTIVE, size=(int(k[i]),))
         labels[i, cls] = 1.0
         base[i] += 1.5 * DIRS[cls].sum(axis=0)
     nf = rng.integers(max(4, F // 4), F + 1, size=(b,)).astype(np.int32)
@@ -99,7 +110,7 @@ def make_batch(seed: int, b: int) -> dict:
     }
 
 
-def run_arm(fused: bool, batches, eval_batch):
+def run_arm(fused: bool, eval_batch):
     hp = ModelHParams(
         vocab_size=C, feature_dim=D, max_frames=F,
         nextvlad_train_fused=fused,
@@ -113,15 +124,25 @@ def run_arm(fused: bool, batches, eval_batch):
     model = get_model("NeXtVladModel", hp)
     tx = make_optimizer(global_batch_size=B)
     state = init_train_state(
-        model, jax.random.PRNGKey(0), batches[0], tx, frame_level=True
+        model, jax.random.PRNGKey(0), make_batch(10_000, B), tx,
+        frame_level=True,
     )
     step_fn = make_train_step(model, get_loss("CrossEntropyLoss"))
-    losses = []
+    # Losses stay ON DEVICE until the end: a per-step device_get is a
+    # tunnel roundtrip that serializes step i's compute against step
+    # i+1's 88.5 MB batch transfer; deferring it lets the transfers
+    # pipeline. Batches regenerate from the step seed (identical in
+    # both arms — seeds are shared).
+    loss_devs = []
     t0 = time.perf_counter()
-    for i, b in enumerate(batches):
+    for i in range(STEPS):
+        b = make_batch(10_000 + i, B)
         db = {k: jnp.asarray(v) for k, v in b.items()}
         state, metrics = step_fn(state, db, jax.random.PRNGKey(50 + i))
-        losses.append(float(jax.device_get(metrics["loss"])))
+        loss_devs.append(metrics["loss"])
+        if (i + 1) % 50 == 0:
+            print(f"  step {i + 1}/{STEPS}", flush=True)
+    losses = [float(x) for x in jax.device_get(loss_devs)]
     dt = time.perf_counter() - t0
     pred_fn = make_predict_step(model)
     preds = np.asarray(
@@ -143,12 +164,11 @@ def main():
         f"D={D} F={F} backend={jax.default_backend()}",
         flush=True,
     )
-    batches = [make_batch(10_000 + i, B) for i in range(STEPS)]
     eval_batch = make_batch(777_777, EVAL_B)
 
-    loss_x, gap_x, params_x, dt_x = run_arm(False, batches, eval_batch)
+    loss_x, gap_x, params_x, dt_x = run_arm(False, eval_batch)
     print(f"xla arm done in {dt_x:.1f}s gap={gap_x:.4f}", flush=True)
-    loss_f, gap_f, params_f, dt_f = run_arm(True, batches, eval_batch)
+    loss_f, gap_f, params_f, dt_f = run_arm(True, eval_batch)
     print(f"fused arm done in {dt_f:.1f}s gap={gap_f:.4f}", flush=True)
 
     gaps = np.abs(np.asarray(loss_f) - np.asarray(loss_x))
