@@ -59,7 +59,11 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TINY = os.environ.get("YT8M_EXP_TINY") == "1"
-B = int(os.environ.get("YT8M_EXP_BATCH", "16" if TINY else "512"))
+# B=512 exceeds HBM for the FULL fused flagship step (411M params,
+# bf16 mu: 16.2 of 15.75 GB — measured OOM, r4 chip queue); B=256 is
+# also the r3 profile's working point, so the budget terms compare
+# directly against the published decomposition.
+B = int(os.environ.get("YT8M_EXP_BATCH", "16" if TINY else "256"))
 F, D, C = (16, 32, 64) if TINY else (300, 1152, 4716)
 STEPS = 3 if TINY else 10
 N_CHIPS = 8
