@@ -59,11 +59,15 @@ jax.config.update(
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TINY = os.environ.get("YT8M_EXP_TINY") == "1"
-# B=512 exceeds HBM for the FULL fused flagship step (411M params,
-# bf16 mu: 16.2 of 15.75 GB — measured OOM, r4 chip queue); B=256 is
-# also the r3 profile's working point, so the budget terms compare
-# directly against the published decomposition.
+# At B=512 the FUSED step fits and measures 139.16 ms (3,679
+# videos/s/chip, r4 chip queue — matching r3's 140.23 ms) but the
+# UNFUSED (scan-path) arm OOMs at compile: 16.20 of 15.75 GB HBM,
+# 47.9% fragmentation — the scan recurrence materializes per-step
+# activations the custom-VJP kernel never allocates. Default B=256
+# so both arms fit in one process; set YT8M_EXP_BATCH=512
+# YT8M_EXP_UNFUSED=0 for the recipe working point, fused arm only.
 B = int(os.environ.get("YT8M_EXP_BATCH", "16" if TINY else "256"))
+SKIP_UNFUSED = os.environ.get("YT8M_EXP_UNFUSED") == "0"
 F, D, C = (16, 32, 64) if TINY else (300, 1152, 4716)
 STEPS = 3 if TINY else 10
 N_CHIPS = 8
@@ -115,7 +119,7 @@ def main():
 
     # ---- 1+2: full fused vs unfused donated step -----------------------
     step_times = {}
-    for fused in (True, False):
+    for fused in ((True,) if SKIP_UNFUSED else (True, False)):
         hp_arm = hp if fused else hp.replace(lstm_use_pallas=False)
         model = get_model("NetVladLstmModel", hp_arm)
         state = init_train_state(
@@ -147,9 +151,10 @@ def main():
         del st, state
 
     results["step_ms_fused"] = round(step_times["fused"] * 1e3, 2)
-    results["step_ms_unfused"] = round(
-        step_times["unfused(pre-fix multi-chip)"] * 1e3, 2
-    )
+    if not SKIP_UNFUSED:
+        results["step_ms_unfused"] = round(
+            step_times["unfused(pre-fix multi-chip)"] * 1e3, 2
+        )
 
     # ---- 3: Adam+clip standalone, full vs FSDP-8 local tree ------------
     model = get_model("NetVladLstmModel", hp)
@@ -243,9 +248,10 @@ def main():
     results["est_fsdp_fused_vps_chip_overlapped"] = round(
         B / (step_times["fused"] - adam_saving)
     )
-    results["unfused_vps_chip"] = round(
-        B / step_times["unfused(pre-fix multi-chip)"]
-    )
+    if not SKIP_UNFUSED:
+        results["unfused_vps_chip"] = round(
+            B / step_times["unfused(pre-fix multi-chip)"]
+        )
     print(json.dumps(results, indent=1))
 
 
