@@ -69,6 +69,13 @@ FAMILIES = [
     "DeepCombineChainModel",
 ]
 
+# YT8M_FAMILY_ONLY=Name1,Name2 restricts the run (e.g. a batch sweep
+# of just the slow families without recompiling the whole zoo).
+_only = os.environ.get("YT8M_FAMILY_ONLY")
+if _only:
+    _keep = {s.strip() for s in _only.split(",") if s.strip()}
+    FAMILIES = [f for f in FAMILIES if f in _keep]
+
 
 def main():
     hp = ModelHParams()

@@ -6,8 +6,12 @@ DATA=${DATA:-data}
 # Perf (r3 profile, BENCH_NOTES "flagship TRAIN profile"): bf16 Adam
 # first moment cuts the 411M-param optimizer HBM pass (79.5 vs 85.1 ms
 # at B=256). For max single-chip throughput use --batch_size=512
-# (3,651 vs 3,220 videos/s/chip — Adam traffic amortised over 2x
+# (3,679 vs 3,220 videos/s/chip — Adam traffic amortised over 2x
 # videos); scale --base_learning_rate accordingly.
+# Multi-chip (v5e-8): add --fsdp_min_size=1048576 — the 2h budget
+# rides on FSDP + the fused train kernels (manual shard_map keeps
+# them on data-only meshes; BENCH_NOTES r4 budget tables, 28-42
+# epochs of the 5.6M split in 2h).
 python train.py \
   --train_data_pattern="$DATA/train*.tfrecord" \
   --feature_names=rgb,audio --feature_sizes=1024,128 \
