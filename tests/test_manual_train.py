@@ -34,7 +34,9 @@ C, D, F, B = 24, 16, 10, 16
 N_STEPS = 3
 
 
-def _batches(frame_level=True, with_pad=True):
+def _batches(
+    frame_level=True, with_pad=True, with_weights=False, with_teacher=False
+):
     out = []
     for i in range(N_STEPS):
         rng = np.random.default_rng(100 + i)
@@ -46,14 +48,25 @@ def _batches(frame_level=True, with_pad=True):
         mask = np.ones((B,), np.float32)
         if with_pad:
             mask[-3:] = 0.0
-        out.append({
+        b = {
             "features": feats,
             "labels": (rng.random((B, C)) < 0.15).astype(np.float32),
             "num_frames": rng.integers(1, F + 1, size=(B,)).astype(
                 np.int32
             ),
             "batch_mask": mask,
-        })
+        }
+        if with_weights:
+            # boosting: per-video loss weights (ensemble/boosting.py)
+            b["example_weights"] = rng.uniform(
+                0.5, 2.0, size=(B,)
+            ).astype(np.float32)
+        if with_teacher:
+            # distillation: teacher probabilities riding the records
+            b["teacher"] = rng.uniform(0.0, 1.0, size=(B, C)).astype(
+                np.float32
+            )
+        out.append(b)
     return out
 
 
@@ -66,6 +79,9 @@ def _run(
     ema_decay=0.0,
     clip=1.0,
     optimizer="SgdOptimizer",
+    loss="CrossEntropyLoss",
+    loss_kw=None,
+    batches=None,
 ):
     # Trajectory comparisons use SGD, NOT Adam: several zoo params have
     # a TRUE gradient of exactly zero (e.g. a BN bias whose constant
@@ -76,7 +92,8 @@ def _run(
     # moments, loss trajectory) are covered separately below.
     manual = mesh.size > 1
     hp_step = hp.replace(bn_axis=mesh_lib.DATA_AXIS) if manual else hp
-    batches = _batches(frame_level)
+    if batches is None:
+        batches = _batches(frame_level)
     model_init = get_model(model_name, hp)
     tx = make_optimizer(
         optimizer=optimizer,
@@ -110,7 +127,7 @@ def _run(
     state = jax.device_put(state, shardings)
     step_fn = make_train_step(
         get_model(model_name, hp_step),
-        losses_lib.get_loss("CrossEntropyLoss"),
+        losses_lib.get_loss(loss, **(loss_kw or {})),
         ema_decay=ema_decay,
         mesh=mesh if manual else None,
         state_specs=(
@@ -303,6 +320,44 @@ def test_trainer_uses_manual_step_and_keeps_kernels(
     assert not any(
         "fall back" in r.message for r in caplog.records
     ), caplog.records
+
+
+def test_manual_dp8_chain_aux_losses_matches_single(monkeypatch):
+    """ChainFrameModel emits aux_predictions (supervised intermediate
+    stages, SURVEY.md §2.2 chaining): the manual step's per-shard aux
+    contributions must psum to the single-device aux-weighted loss."""
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
+    hp = ModelHParams(
+        vocab_size=C, feature_dim=D, max_frames=F,
+        compute_dtype="float32", chain_stages=2, chain_hidden_size=16,
+        moe_num_mixtures=2,
+    )
+    ref = _run("ChainFrameModel", hp, mesh_lib.make_mesh(1))
+    got = _run("ChainFrameModel", hp, mesh_lib.make_mesh(8))
+    _assert_trajectory_close(ref, got)
+
+
+def test_manual_dp8_boost_weights_and_distill_matches_single(monkeypatch):
+    """Boosting example_weights fold into the loss mask and the distill
+    teacher rides the batch — both extras must shard on 'data' and
+    reproduce the single-device weighted/mixed loss under the manual
+    step (the weighted global masked-mean denominator is the subtle
+    part: psum of the weighted mask)."""
+    monkeypatch.setenv("YT8M_PALLAS_INTERPRET", "1")
+    hp = ModelHParams(
+        vocab_size=C, feature_dim=D, max_frames=F,
+        compute_dtype="float32", netvlad_cluster_size=8,
+        netvlad_hidden_size=16, moe_num_mixtures=2,
+    )
+    batches = _batches(with_weights=True, with_teacher=True)
+    kw = dict(
+        loss="MixedCrossEntropyDistillLoss",
+        loss_kw={"alpha": 0.5},
+        batches=batches,
+    )
+    ref = _run("GatedNetVladModel", hp, mesh_lib.make_mesh(1), **kw)
+    got = _run("GatedNetVladModel", hp, mesh_lib.make_mesh(8), **kw)
+    _assert_trajectory_close(ref, got)
 
 
 def test_manual_rejects_model_parallel():
