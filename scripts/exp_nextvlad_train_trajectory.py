@@ -25,11 +25,22 @@ streams in both arms) instead of pre-materialized: the 300-batch list
 was 27 GB of host RSS and a ~35-minute single-core stall before the
 first step.
 
-Usage (chip):  python scripts/exp_nextvlad_train_trajectory.py
-Smoke (CPU):   YT8M_EXP_TINY=1 YT8M_FORCE_CPU=1 YT8M_PALLAS_INTERPRET=1 \
-               python scripts/exp_nextvlad_train_trajectory.py
+Each arm is ~17.5 min on-chip at the default 300 steps, so the two-arm
+single-process run kept outliving the chip-queue stage budget (twice).
+Arms therefore run as SEPARATE invocations persisting their results
+(losses, held-out GAP, final params) to YT8M_EXP_OUT, and a report
+invocation combines whatever is on disk — a dead session costs one
+arm, not the whole A/B.
 
-Env: YT8M_EXP_STEPS (default 300), YT8M_EXP_BATCH (default 256).
+Usage (chip):  YT8M_EXP_ARM=xla   python scripts/exp_nextvlad_train_trajectory.py
+               YT8M_EXP_ARM=fused python scripts/exp_nextvlad_train_trajectory.py
+               YT8M_EXP_ARM=report python scripts/exp_nextvlad_train_trajectory.py
+Smoke (CPU):   YT8M_EXP_TINY=1 YT8M_FORCE_CPU=1 YT8M_PALLAS_INTERPRET=1 \
+               python scripts/exp_nextvlad_train_trajectory.py   # both arms
+
+Env: YT8M_EXP_STEPS (default 300), YT8M_EXP_BATCH (default 256),
+     YT8M_EXP_ARM (xla|fused|both|report, default both),
+     YT8M_EXP_OUT (default /tmp/nextvlad_traj).
 """
 
 import json
@@ -73,6 +84,8 @@ EVAL_B = 8 * B
 # Labels live in the first ACTIVE classes (learnable at 300 steps);
 # the model/loss/metrics still run the full C.
 ACTIVE = int(os.environ.get("YT8M_EXP_ACTIVE", str(min(512, C))))
+ARM = os.environ.get("YT8M_EXP_ARM", "both")
+OUT_DIR = os.environ.get("YT8M_EXP_OUT", "/tmp/nextvlad_traj")
 
 
 def _class_dirs() -> np.ndarray:
@@ -141,7 +154,13 @@ def run_arm(fused: bool, eval_batch):
         state, metrics = step_fn(state, db, jax.random.PRNGKey(50 + i))
         loss_devs.append(metrics["loss"])
         if (i + 1) % 50 == 0:
-            print(f"  step {i + 1}/{STEPS}", flush=True)
+            # One fetch per 50 steps: cheap, and partial logs stay
+            # informative if the run dies mid-arm.
+            print(
+                f"  step {i + 1}/{STEPS} "
+                f"loss={float(loss_devs[-1]):.5f}",
+                flush=True,
+            )
     losses = [float(x) for x in jax.device_get(loss_devs)]
     dt = time.perf_counter() - t0
     pred_fn = make_predict_step(model)
@@ -158,29 +177,68 @@ def run_arm(fused: bool, eval_batch):
     return losses, gap, jax.device_get(state.params), dt
 
 
+def _save_arm(name, losses, gap, params, dt):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    arrs = {
+        "p:" + jax.tree_util.keystr(k): np.asarray(v) for k, v in flat
+    }
+    np.savez(
+        os.path.join(OUT_DIR, f"{name}.npz"),
+        losses=np.asarray(losses, np.float64),
+        gap=np.float64(gap),
+        dt=np.float64(dt),
+        **arrs,
+    )
+
+
+def _load_arm(name):
+    path = os.path.join(OUT_DIR, f"{name}.npz")
+    z = np.load(path)
+    params = {k[2:]: z[k] for k in z.files if k.startswith("p:")}
+    return (
+        [float(x) for x in z["losses"]],
+        float(z["gap"]),
+        params,
+        float(z["dt"]),
+    )
+
+
 def main():
     print(
         f"NeXtVLAD train trajectory A/B: steps={STEPS} B={B} C={C} "
-        f"D={D} F={F} backend={jax.default_backend()}",
+        f"D={D} F={F} backend={jax.default_backend()} arm={ARM}",
         flush=True,
     )
-    eval_batch = make_batch(777_777, EVAL_B)
+    eval_batch = (
+        None if ARM == "report" else make_batch(777_777, EVAL_B)
+    )
 
-    loss_x, gap_x, params_x, dt_x = run_arm(False, eval_batch)
-    print(f"xla arm done in {dt_x:.1f}s gap={gap_x:.4f}", flush=True)
-    loss_f, gap_f, params_f, dt_f = run_arm(True, eval_batch)
-    print(f"fused arm done in {dt_f:.1f}s gap={gap_f:.4f}", flush=True)
+    if ARM in ("xla", "both"):
+        loss_x, gap_x, params_x, dt_x = run_arm(False, eval_batch)
+        print(
+            f"xla arm done in {dt_x:.1f}s gap={gap_x:.4f}", flush=True
+        )
+        _save_arm("xla", loss_x, gap_x, params_x, dt_x)
+    if ARM in ("fused", "both"):
+        loss_f, gap_f, params_f, dt_f = run_arm(True, eval_batch)
+        print(
+            f"fused arm done in {dt_f:.1f}s gap={gap_f:.4f}", flush=True
+        )
+        _save_arm("fused", loss_f, gap_f, params_f, dt_f)
+    if ARM not in ("both", "report"):
+        return
 
+    loss_x, gap_x, params_x, dt_x = _load_arm("xla")
+    loss_f, gap_f, params_f, dt_f = _load_arm("fused")
     gaps = np.abs(np.asarray(loss_f) - np.asarray(loss_x))
     curve = {
         str(i): (round(loss_x[i], 5), round(loss_f[i], 5))
         for i in range(0, STEPS, max(1, STEPS // 12))
     }
     drift = {}
-    flat_x = jax.tree_util.tree_leaves_with_path(params_x)
-    flat_f = jax.tree_util.tree_leaves_with_path(params_f)
-    for (k, vx), (_, vf) in zip(flat_x, flat_f):
-        name = jax.tree_util.keystr(k)
+    for name, vx in params_x.items():
+        vf = params_f[name]
         denom = float(np.max(np.abs(vx))) + 1e-12
         drift[name] = round(float(np.max(np.abs(vx - vf))) / denom, 6)
     worst = sorted(drift.items(), key=lambda kv: -kv[1])[:8]
