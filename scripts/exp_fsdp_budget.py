@@ -134,14 +134,31 @@ def main():
             print(f"flagship params: {n_params / 1e6:.1f}M", flush=True)
         db = {k: jnp.asarray(v) for k, v in batch.items()}
         step_fn = make_train_step(model, loss)
-        st, m = step_fn(state, db, key)
-        _ = jax.device_get(m["loss"])
+        tag = "fused" if fused else "unfused(pre-fix multi-chip)"
+        try:
+            st, m = step_fn(state, db, key)
+            _ = jax.device_get(m["loss"])
+        except jax.errors.JaxRuntimeError as e:
+            # The unfused scan arm OOMs at the B=512 working point
+            # (16.20 of 15.75 GB HBM): that IS the finding — the scan
+            # recurrence materializes per-step activations the
+            # custom-VJP kernels never allocate. Record it and keep
+            # the rest of the budget terms.
+            if fused:
+                raise
+            print(
+                f"{'FULL step B=%d bf16-mu %s' % (B, tag):52s} "
+                f"DID NOT COMPILE: {str(e).splitlines()[0][:120]}",
+                flush=True,
+            )
+            results["step_unfused"] = "OOM"
+            del state
+            continue
         t0 = time.perf_counter()
         for i in range(STEPS):
             st, m = step_fn(st, db, jax.random.fold_in(key, i))
         _ = jax.device_get(m["loss"])
         dt = (time.perf_counter() - t0) / STEPS
-        tag = "fused" if fused else "unfused(pre-fix multi-chip)"
         print(
             f"{'FULL step B=%d bf16-mu %s' % (B, tag):52s} {dt * 1e3:8.2f} ms"
             f"  ({B / dt:,.0f} videos/s/chip)",
@@ -151,7 +168,7 @@ def main():
         del st, state
 
     results["step_ms_fused"] = round(step_times["fused"] * 1e3, 2)
-    if not SKIP_UNFUSED:
+    if "unfused(pre-fix multi-chip)" in step_times:
         results["step_ms_unfused"] = round(
             step_times["unfused(pre-fix multi-chip)"] * 1e3, 2
         )
@@ -248,7 +265,7 @@ def main():
     results["est_fsdp_fused_vps_chip_overlapped"] = round(
         B / (step_times["fused"] - adam_saving)
     )
-    if not SKIP_UNFUSED:
+    if "unfused(pre-fix multi-chip)" in step_times:
         results["unfused_vps_chip"] = round(
             B / step_times["unfused(pre-fix multi-chip)"]
         )
