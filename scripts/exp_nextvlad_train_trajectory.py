@@ -15,19 +15,24 @@ N steps with nextvlad_train_fused ON vs OFF and reports:
 
 Synthetic stream: the data/synthetic.py planted-signal construction
 (per-video label-direction mean + per-frame noise, uint8-quantized),
-generated in memory — wire format is irrelevant to a gradient A/B, the
-LEARNABILITY is what matters. Labels draw from the first
-YT8M_EXP_ACTIVE (default 512) of the 4716 classes so 300 steps reach a
-measurably-nonzero GAP (the full-vocabulary draw left both arms at
-GAP 0.0000 — meaningless for the A/B); kernel shapes stay the real
-C=4716. Batches are REGENERATED per step from the step seed (identical
-streams in both arms) instead of pre-materialized: the 300-batch list
-was 27 GB of host RSS and a ~35-minute single-core stall before the
-first step.
+generated ON DEVICE in a jitted function of the step seed — wire
+format is irrelevant to a gradient A/B, the LEARNABILITY is what
+matters. Labels draw from the first YT8M_EXP_ACTIVE (default 512) of
+the 4716 classes so 300 steps reach a measurably-nonzero GAP (the
+full-vocabulary draw left both arms at GAP 0.0000 — meaningless for
+the A/B); kernel shapes stay the real C=4716. History of the batch
+path (why on-device):
+  1. pre-materialized 300-batch list — 27 GB host RSS + ~35 min
+     single-core stall before step 1;
+  2. per-step host numpy regen — ~3.3 s/step (88.5 MB gen + uint8
+     transfer per step), 17.5 min/arm, kept outliving the chip-queue
+     stage budget, and the per-step host->device transfer is exactly
+     the axon-relay RSS retention documented in BENCH_NOTES;
+  3. (current) jax.random gen inside jit keyed by the step seed —
+     identical streams in both arms (same seeds, same backend),
+     zero host work, zero transfer, zero RSS growth.
 
-Each arm is ~17.5 min on-chip at the default 300 steps, so the two-arm
-single-process run kept outliving the chip-queue stage budget (twice).
-Arms therefore run as SEPARATE invocations persisting their results
+Arms still run as SEPARATE invocations persisting their results
 (losses, held-out GAP, final params) to YT8M_EXP_OUT, and a report
 invocation combines whatever is on disk — a dead session costs one
 arm, not the whole A/B.
@@ -66,7 +71,6 @@ cache = os.path.join(
 jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from yt8m_tpu.data.quantize import quantize
 from yt8m_tpu.metrics import calculate_gap
 from yt8m_tpu.models import get_model
 from yt8m_tpu.models.hparams import ModelHParams
@@ -102,25 +106,42 @@ def _class_dirs() -> np.ndarray:
 DIRS = _class_dirs()
 
 
-def make_batch(seed: int, b: int) -> dict:
-    rng = np.random.default_rng(seed)
-    # ~Zipf-lite label draw: 1-3 labels from the full vocabulary.
-    k = rng.integers(1, 4, size=(b,))
-    labels = np.zeros((b, C), np.float32)
-    base = rng.normal(0.0, 0.6, size=(b, D)).astype(np.float32)
-    for i in range(b):
-        cls = rng.integers(0, ACTIVE, size=(int(k[i]),))
-        labels[i, cls] = 1.0
-        base[i] += 1.5 * DIRS[cls].sum(axis=0)
-    nf = rng.integers(max(4, F // 4), F + 1, size=(b,)).astype(np.int32)
-    noise = rng.normal(0.0, 0.3, size=(b, F, D)).astype(np.float32)
-    feats = quantize(base[:, None, :] + noise)
+def _gen_batch(seed, b: int) -> dict:
+    """On-device planted-signal batch, deterministic in `seed`.
+
+    Same construction as the old host numpy path (1-3 labels from the
+    first ACTIVE classes, 1.5x summed label directions + N(0, 0.6)
+    video mean + N(0, 0.3) frame noise, uint8-quantized to the
+    data/quantize.py wire format) but drawn with jax.random so the
+    whole batch materializes in HBM: both arms run the same seeds on
+    the same backend, so their streams are bitwise-identical without
+    a single host->device transfer.
+    """
+    key = jax.random.fold_in(jax.random.PRNGKey(424_242), seed)
+    kk, kc, kb, kn, kf = jax.random.split(key, 5)
+    # ~Zipf-lite label draw: 1-3 labels (duplicates allowed, exactly
+    # like the numpy fancy-index version summed duplicate directions).
+    k = jax.random.randint(kk, (b,), 1, 4)
+    cls = jax.random.randint(kc, (b, 3), 0, ACTIVE)
+    sel = (jnp.arange(3)[None, :] < k[:, None]).astype(jnp.float32)
+    onehot = jax.nn.one_hot(cls, C, dtype=jnp.float32)
+    labels = jnp.minimum((onehot * sel[..., None]).sum(axis=1), 1.0)
+    dirs = jnp.asarray(DIRS)
+    base = 0.6 * jax.random.normal(kb, (b, D), jnp.float32)
+    base = base + 1.5 * (dirs[cls] * sel[..., None]).sum(axis=1)
+    nf = jax.random.randint(kf, (b,), max(4, F // 4), F + 1)
+    noise = 0.3 * jax.random.normal(kn, (b, F, D), jnp.float32)
+    x = jnp.clip(base[:, None, :] + noise, -2.0, 2.0)
+    feats = jnp.round((x + 2.0) * (255.0 / 4.0)).astype(jnp.uint8)
     return {
         "features": feats,
         "labels": labels,
-        "num_frames": nf,
-        "batch_mask": np.ones((b,), np.float32),
+        "num_frames": nf.astype(jnp.int32),
+        "batch_mask": jnp.ones((b,), jnp.float32),
     }
+
+
+gen_batch = jax.jit(_gen_batch, static_argnums=1)
 
 
 def run_arm(fused: bool, eval_batch):
@@ -137,20 +158,19 @@ def run_arm(fused: bool, eval_batch):
     model = get_model("NeXtVladModel", hp)
     tx = make_optimizer(global_batch_size=B)
     state = init_train_state(
-        model, jax.random.PRNGKey(0), make_batch(10_000, B), tx,
+        model, jax.random.PRNGKey(0),
+        jax.device_get(gen_batch(10_000, B)), tx,
         frame_level=True,
     )
     step_fn = make_train_step(model, get_loss("CrossEntropyLoss"))
     # Losses stay ON DEVICE until the end: a per-step device_get is a
-    # tunnel roundtrip that serializes step i's compute against step
-    # i+1's 88.5 MB batch transfer; deferring it lets the transfers
-    # pipeline. Batches regenerate from the step seed (identical in
+    # tunnel roundtrip that serializes the stream of async dispatches.
+    # Batches are generated on device from the step seed (identical in
     # both arms — seeds are shared).
     loss_devs = []
     t0 = time.perf_counter()
     for i in range(STEPS):
-        b = make_batch(10_000 + i, B)
-        db = {k: jnp.asarray(v) for k, v in b.items()}
+        db = gen_batch(10_000 + i, B)
         state, metrics = step_fn(state, db, jax.random.PRNGKey(50 + i))
         loss_devs.append(metrics["loss"])
         if (i + 1) % 50 == 0:
@@ -166,14 +186,10 @@ def run_arm(fused: bool, eval_batch):
     pred_fn = make_predict_step(model)
     preds = np.asarray(
         jax.device_get(
-            pred_fn(
-                state,
-                {k: jnp.asarray(v) for k, v in eval_batch.items()},
-                jax.random.PRNGKey(99),
-            )
+            pred_fn(state, eval_batch, jax.random.PRNGKey(99))
         )
     )
-    gap = calculate_gap(preds, eval_batch["labels"])
+    gap = calculate_gap(preds, np.asarray(eval_batch["labels"]))
     return losses, gap, jax.device_get(state.params), dt
 
 
@@ -211,7 +227,7 @@ def main():
         flush=True,
     )
     eval_batch = (
-        None if ARM == "report" else make_batch(777_777, EVAL_B)
+        None if ARM == "report" else gen_batch(777_777, EVAL_B)
     )
 
     if ARM in ("xla", "both"):
