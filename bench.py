@@ -3,7 +3,11 @@
 
 Baseline target (BASELINE.json :: north_star): >= 10,000 videos/sec/chip
 on TPU v5e. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/10000}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N/10000,
+   "trials": T, "min": ..., "max": ...}
+`value` is the MEDIAN of T (default 5, YT8M_BENCH_TRIALS) independent
+timed regions; min/max give the run-to-run band (±4-18% observed under
+the axon tunnel across rounds).
 
 Measurement notes:
   * Batches are uint8 [B, 300, 1152] with random num_frames — the exact
@@ -98,29 +102,47 @@ def main():
     _ = jax.device_get(forward(variables, feats, nf))
 
     steps = 30
+    trials = int(os.environ.get("YT8M_BENCH_TRIALS", "5"))
     batches = [make_batch(jax.random.PRNGKey(i)) for i in range(4)]
     _ = jax.device_get(batches[-1][1])
     # NB: device_get (not block_until_ready) — the experimental axon
     # platform's block_until_ready can return before execution finishes,
     # inflating throughput. device_get forces a real device->host sync.
-    t0 = time.perf_counter()
-    outs = None
-    for i in range(steps):
-        feats, nf = batches[i % len(batches)]
-        outs = forward(variables, feats, nf)
-    _ = jax.device_get(outs)
-    dt = time.perf_counter() - t0
+    #
+    # N trials, median + band: single-best-run headlines over the tunnel's
+    # observed ±18% run-to-run spread (BENCH_r01..r04: 174k/153k/189k/156k)
+    # cherry-pick by construction (VERDICT r4 weak #1). The headline value
+    # is the MEDIAN of `trials` independent timed regions; min/max are
+    # reported alongside so any single future capture can be judged
+    # against the band instead of a point.
+    per_trial = []
+    for t in range(trials):
+        t0 = time.perf_counter()
+        outs = None
+        for i in range(steps):
+            feats, nf = batches[i % len(batches)]
+            outs = forward(variables, feats, nf)
+        _ = jax.device_get(outs)
+        dt = time.perf_counter() - t0
+        per_trial.append(batch * steps / dt)
 
-    videos_per_sec = batch * steps / dt
+    per_trial.sort()
+    n = len(per_trial)
+    median = (
+        per_trial[n // 2]
+        if n % 2
+        else 0.5 * (per_trial[n // 2 - 1] + per_trial[n // 2])
+    )
     print(
         json.dumps(
             {
                 "metric": "frame_level_inference_videos_per_sec_per_chip",
-                "value": round(videos_per_sec, 1),
+                "value": round(median, 1),
                 "unit": "videos/sec/chip",
-                "vs_baseline": round(
-                    videos_per_sec / BASELINE_VIDEOS_PER_SEC, 3
-                ),
+                "vs_baseline": round(median / BASELINE_VIDEOS_PER_SEC, 3),
+                "trials": n,
+                "min": round(per_trial[0], 1),
+                "max": round(per_trial[-1], 1),
             }
         )
     )

@@ -360,6 +360,36 @@ def test_manual_dp8_boost_weights_and_distill_matches_single(monkeypatch):
     _assert_trajectory_close(ref, got)
 
 
+def test_trainer_warns_tp_training_deprecated(tmp_path, caplog):
+    """--model_parallel>1 training is DEPRECATED (r5 measured decision:
+    FSDP keeps the fused kernels and shards the optimizer at identical
+    ICI volume — docs/FLAGS.md). The Trainer must say so loudly instead
+    of silently dropping kernels."""
+    import logging
+
+    from yt8m_tpu.config import TrainConfig
+    from yt8m_tpu.train.loop import Trainer
+
+    cfg = TrainConfig(
+        model="MoeModel",
+        frame_features=False,
+        feature_names="mean_rgb",
+        feature_sizes=str(D),
+        num_classes=C,
+        batch_size=B,
+        max_steps=1,
+        model_parallel=2,
+        train_dir=str(tmp_path / "model"),
+    )
+    batches = _batches(frame_level=False)
+    with caplog.at_level(logging.WARNING, logger="yt8m_tpu.train"):
+        trainer = Trainer(cfg, data_iterator=iter(batches))
+    assert not trainer.manual_train
+    assert any(
+        "DEPRECATED" in r.getMessage() for r in caplog.records
+    ), [r.message for r in caplog.records]
+
+
 def test_manual_rejects_model_parallel():
     mesh = mesh_lib.make_mesh(8, model_parallel=2)
     model = get_model("MoeModel", ModelHParams(vocab_size=C, feature_dim=D))
