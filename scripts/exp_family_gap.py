@@ -175,17 +175,21 @@ def run_family(name, data, lr):
     nf_tr = jnp.asarray(data["nf_train"])
     n = feats_tr.shape[0]
 
+    # data arrays are ARGUMENTS, not closures: a closed-over device
+    # array embeds as an HLO constant (177 MB here) and blows the axon
+    # relay's payload limit (the bench.py HTTP-413 lesson).
     @jax.jit
-    def take_batch(epoch, slot):
+    def take_batch(feats, labels, nf, epoch, slot):
         # per-epoch on-device shuffle, exactly one pass per epoch
         perm = jax.random.permutation(
-            jax.random.fold_in(jax.random.PRNGKey(11), epoch), n
+            jax.random.fold_in(jax.random.PRNGKey(11), epoch),
+            feats.shape[0],
         )
         idx = jax.lax.dynamic_slice_in_dim(perm, slot * B, B)
         return {
-            "features": jnp.take(feats_tr, idx, axis=0),
-            "labels": jnp.take(labels_tr, idx, axis=0),
-            "num_frames": jnp.take(nf_tr, idx, axis=0),
+            "features": jnp.take(feats, idx, axis=0),
+            "labels": jnp.take(labels, idx, axis=0),
+            "num_frames": jnp.take(nf, idx, axis=0),
             "batch_mask": jnp.ones((B,), jnp.float32),
         }
 
@@ -193,7 +197,9 @@ def run_family(name, data, lr):
     loss_devs = []
     t0 = time.perf_counter()
     for i in range(STEPS):
-        db = take_batch(i // per_epoch, i % per_epoch)
+        db = take_batch(
+            feats_tr, labels_tr, nf_tr, i // per_epoch, i % per_epoch
+        )
         state, metrics = step_fn(state, db, jax.random.PRNGKey(50 + i))
         loss_devs.append(metrics["loss"])
     losses = [float(x) for x in jax.device_get(loss_devs)]
