@@ -19,7 +19,9 @@ run() {
   echo "--- $name exit=$rc" | tee -a "$OUT/summary.log"
 }
 
-run distill_boost_soak python scripts/soak_distill_boost.py --videos 20000
+# the soak's 13 CLI stages run ~2.5h wall under the tunnel; give it room
+run distill_boost_soak timeout 12000 \
+  python scripts/soak_distill_boost.py --videos 20000
 run family_gap         python scripts/exp_family_gap.py
 run flagship_serving   python scripts/profile_flagship_serving.py
 run rss_phase_split    python scripts/diagnose_train_rss.py
