@@ -47,7 +47,11 @@ def run(cmd, log_name, out_dir):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--data", default="/tmp/distill_sweep")
+    ap.add_argument(
+        "--data", default="/tmp/yt8m_distill_soak",
+        help="a soak_distill_boost.py --keep out-dir: needs "
+        "distill_data/train-*.tfrecord and data/validate-*.tfrecord",
+    )
     ap.add_argument("--out", default="/tmp/distill_alpha_sweep")
     ap.add_argument("--alphas", default="0.75,0.9,0.25")
     ap.add_argument("--epochs", type=int, default=2)
@@ -86,7 +90,7 @@ def main():
         )
         out, dt_eval = run(
             [sys.executable, "eval.py",
-             f"--eval_data_pattern={args.data}/validate-*.tfrecord",
+             f"--eval_data_pattern={args.data}/data/validate-*.tfrecord",
              f"--train_dir={tdir}", "--run_once=True",
              "--batch_size=512"]
             + [f for f in common if not f.startswith("--batch_size")],

@@ -47,6 +47,39 @@ def test_video_level_batches(tmp_path):
     assert np.all(b2["labels"][2:] == 0)
 
 
+def test_label_dropout_thins_observed_labels(tmp_path):
+    """label_dropout drops TRUE positives from the written records
+    (incomplete-label regime for the distillation soak) while keeping
+    >=1 label per video; dropout=0.0 leaves the byte stream unchanged."""
+    clean = str(tmp_path / "clean.tfrecord")
+    clean2 = str(tmp_path / "clean2.tfrecord")
+    noisy = str(tmp_path / "noisy.tfrecord")
+    write_video_level_shard(clean, 200, num_classes=100, seed=7)
+    write_video_level_shard(clean2, 200, num_classes=100, seed=7,
+                            label_dropout=0.0)
+    write_video_level_shard(noisy, 200, num_classes=100, seed=7,
+                            label_dropout=0.6)
+    assert open(clean, "rb").read() == open(clean2, "rb").read()
+
+    cfg = ReaderConfig.video_level(num_classes=100)
+
+    def label_sets(path):
+        out = []
+        for b in BatchIterator([path], cfg, batch_size=8, num_epochs=1):
+            for row, m in zip(b["labels"], b["batch_mask"]):
+                if m:
+                    out.append(set(np.nonzero(row)[0].tolist()))
+        return out
+
+    clean_sets, noisy_sets = label_sets(clean), label_sets(noisy)
+    assert len(clean_sets) == len(noisy_sets) == 200
+    assert all(len(s) >= 1 for s in noisy_sets)
+    assert all(n <= c for n, c in zip(noisy_sets, clean_sets))
+    n_clean = sum(len(s) for s in clean_sets)
+    n_noisy = sum(len(s) for s in noisy_sets)
+    assert n_noisy < n_clean
+
+
 def test_frame_level_pad_truncate(tmp_path):
     path = str(tmp_path / "f.tfrecord")
     meta = write_frame_level_shard(

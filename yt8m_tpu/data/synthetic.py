@@ -61,6 +61,31 @@ def _random_labels(
     return labels.astype(np.int64)
 
 
+def _observed_labels(
+    rng: np.random.Generator, labels: np.ndarray, label_dropout: float
+) -> np.ndarray:
+    """Incomplete-label model: each TRUE positive is independently
+    missing from the written record with prob `label_dropout` (>=1 label
+    always survives, like the real dataset's min-one-label guarantee).
+
+    Features are planted from the TRUE labels, so a dropped positive is
+    still recoverable from the feature signal — the regime the fork's
+    distillation pipeline targets (YT-8M labels are machine-generated
+    and incomplete; the teacher's soft targets restore missing
+    positives that hard CE would actively push to zero).
+
+    `rng` must be a generator dedicated to dropout draws: consuming the
+    shard's main stream here would shift every later video's labels and
+    features relative to the clean (label_dropout=0) shard.
+    """
+    if label_dropout <= 0.0:
+        return labels
+    keep = rng.random(labels.shape[0]) >= label_dropout
+    if not keep.any():
+        keep[rng.integers(0, labels.shape[0])] = True
+    return labels[keep]
+
+
 def write_video_level_shard(
     path: str,
     num_videos: int,
@@ -69,20 +94,23 @@ def write_video_level_shard(
     audio_dim: int = 128,
     max_labels: int = 4,
     seed: int = 0,
+    label_dropout: float = 0.0,
 ) -> List[bytes]:
     """Write one video-level tf.Example shard; returns the video ids."""
     rng = np.random.default_rng(seed)
+    drop_rng = np.random.default_rng(777_000_000 + seed)
     ids, records = [], []
     for i in range(num_videos):
         vid = f"vid{seed:02d}_{i:05d}".encode()
         labels = _random_labels(rng, num_classes, max_labels)
         mean_rgb = _planted_features(rng, labels, rgb_dim, num_classes)
         mean_audio = _planted_features(rng, labels, audio_dim, num_classes)
+        observed = _observed_labels(drop_rng, labels, label_dropout)
         records.append(
             encode_example(
                 {
                     "id": ("bytes", [vid]),
-                    "labels": ("int64", labels.tolist()),
+                    "labels": ("int64", observed.tolist()),
                     "mean_rgb": ("float", mean_rgb.tolist()),
                     "mean_audio": ("float", mean_audio.tolist()),
                 }
@@ -103,12 +131,14 @@ def write_frame_level_shard(
     min_frames: int = 8,
     max_labels: int = 4,
     seed: int = 0,
+    label_dropout: float = 0.0,
 ) -> List[Tuple[bytes, int]]:
     """Write one frame-level tf.SequenceExample shard.
 
     Returns [(video_id, num_frames)] for test assertions.
     """
     rng = np.random.default_rng(seed)
+    drop_rng = np.random.default_rng(777_000_000 + seed)
     meta, records = [], []
     for i in range(num_videos):
         vid = f"vid{seed:02d}_{i:05d}".encode()
@@ -132,11 +162,12 @@ def write_frame_level_shard(
         audio_frames = [
             ("bytes", [q_audio[f].tobytes()]) for f in range(n_frames)
         ]
+        observed = _observed_labels(drop_rng, labels, label_dropout)
         records.append(
             encode_sequence_example(
                 context={
                     "id": ("bytes", [vid]),
-                    "labels": ("int64", labels.tolist()),
+                    "labels": ("int64", observed.tolist()),
                 },
                 feature_lists={"rgb": rgb_frames, "audio": audio_frames},
             )
