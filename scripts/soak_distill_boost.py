@@ -87,7 +87,14 @@ def main():
         "BELOW its CE control (0.94552 vs 0.95233) — expected, alpha=0.5 "
         "halves the weight on already-perfect labels. This flag creates "
         "the incomplete-label regime YT-8M actually has and distillation "
-        "exists for.",
+        "exists for. MEASURED at dropout=0.3 (r5 second run): distilled "
+        "0.86801 vs CE control 0.89735 — still a loss, because the "
+        "synthetic feature->label map is deterministic so the CE control "
+        "recovers dropped positives from features alone, and the "
+        "same-capability teacher (GAP 0.89518) adds no information. "
+        "Distillation pays when the teacher is STRONGER and the label "
+        "noise irreducible (real YT-8M) — see BENCH_NOTES 'Distill/boost "
+        "at-scale soak' for the full mechanism read.",
     )
     args = ap.parse_args()
 
